@@ -1,0 +1,191 @@
+"""Residual block with the flash-attn "dropout -> add -> LN" ordering.
+
+Parity target: flash-attn `Block` as vendored in
+`/root/reference/src/models/sequence/simple_lm.py:213-307` and used by the LM
+family (`/root/reference/src/models/sequence/long_conv_lm.py:180-200`):
+
+  prenorm:
+    dropped  = dropout1(hidden)
+    residual = dropped + residual      (or dropped for the first block)
+    hidden   = norm1(residual)         (norm computed in the norm's dtype)
+    residual = f32(residual)           if residual_in_fp32
+    hidden   = mixer(hidden)
+    dropped  = dropout2(hidden)
+    residual = dropped + residual
+    hidden   = norm2(residual)
+    residual = f32(residual)
+    hidden   = mlp(hidden)
+    return hidden, residual
+
+On TPU the dropout+add+LN chain is elementwise and fused by XLA automatically
+(the reference needed a custom CUDA kernel, `long_conv_lm.py:297-305`).
+Activation checkpointing (`checkpoint_mixer`/`checkpoint_mlp`,
+`long_conv_lm.py:39-45,196-199`) maps to `jax.checkpoint`/`flax.linen.remat`
+applied per block by the backbone — the standard JAX remat granularity.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from hyena_dna_tpu.models.attention import MHA
+from hyena_dna_tpu.models.hyena import HyenaOperator
+
+
+def make_mixer(
+    d_model: int,
+    layer_cfg: Optional[dict],
+    attn_cfg: Optional[dict],
+    is_attn: bool,
+    n_layer: int,
+    dtype: Any,
+    name: str = "mixer",
+) -> fnn.Module:
+    """Mixer factory mirroring `create_mixer_cls`
+    (`/root/reference/src/models/sequence/long_conv_lm.py:48-99`): attention at
+    indices in attn_layer_idx, otherwise the registered layer (hyena)."""
+    if is_attn:
+        cfg = dict(attn_cfg or {})
+        cfg.pop("use_flash_attn", None)
+        cfg.pop("fused_bias_fc", None)
+        return MHA(d_model=d_model, n_layer=n_layer, dtype=dtype, name=name, **cfg)
+    cfg = dict(layer_cfg or {})
+    cfg.pop("_name_", None)
+    cfg.pop("fused_bias_fc", None)
+    cfg.pop("jit_filter", None)
+    cfg.pop("fused_fft_conv", None)
+    filter_keys = (
+        "emb_dim",
+        "w",
+        "lr",
+        "lr_pos_emb",
+        "wd",
+        "bias",
+        "normalized",
+        "num_inner_mlps",
+        "modulate",
+        "linear_mixer",
+        "bidirectional",
+    )
+    filter_cfg = dict(cfg.pop("filter_args", {}) or {})
+    filter_cfg.pop("seq_len", None)  # derived from l_max by HyenaOperator
+    filter_cfg.pop("order", None)  # filter_order flows separately
+    for key in filter_keys:
+        if key in cfg:
+            val = cfg.pop(key)
+            target = {"bias": "use_bias"}.get(key, key)
+            filter_cfg[target] = val
+    cfg.pop("filter_cls", None)
+    return HyenaOperator(
+        d_model=d_model,
+        n_layer=n_layer,
+        dtype=dtype,
+        filter_cfg=filter_cfg,
+        name=name,
+        **cfg,
+    )
+
+
+class Mlp(fnn.Module):
+    """Transformer MLP with tanh-approx GeLU (reference
+    `long_conv_lm.py:117-123`: `partial(F.gelu, approximate='tanh')`)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    n_layer: int = 1
+    init_std: float = 0.02
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_out = self.out_features or x.shape[-1]
+        x = fnn.Dense(
+            self.hidden_features,
+            kernel_init=fnn.initializers.normal(stddev=self.init_std),
+            bias_init=fnn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = jax.nn.gelu(x, approximate=True)
+        # fc2 gets the GPT-2 1/sqrt(2N) residual rescale (`long_conv_lm.py:225-230`)
+        x = fnn.Dense(
+            d_out,
+            kernel_init=fnn.initializers.normal(
+                stddev=self.init_std / math.sqrt(2 * self.n_layer)
+            ),
+            bias_init=fnn.initializers.zeros,
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        return x
+
+
+class Block(fnn.Module):
+    """Prenorm residual block: dropout -> add -> LN -> mixer/MLP."""
+
+    d_model: int
+    layer_cfg: Optional[dict] = None
+    attn_cfg: Optional[dict] = None
+    is_attn: bool = False
+    d_inner: Optional[int] = None
+    identity_mlp: bool = False
+    resid_dropout1: float = 0.0
+    resid_dropout2: float = 0.0
+    residual_in_fp32: bool = False
+    layer_norm_epsilon: float = 1e-5
+    n_layer: int = 1
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        residual: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        norm_dtype = jnp.float32  # LN params + compute in fp32
+        dropped = fnn.Dropout(rate=self.resid_dropout1, name="dropout1")(
+            hidden_states, deterministic=deterministic
+        )
+        residual = (dropped + residual) if residual is not None else dropped
+        hidden_states = fnn.LayerNorm(
+            epsilon=self.layer_norm_epsilon, dtype=norm_dtype, name="norm1"
+        )(residual.astype(norm_dtype)).astype(self.dtype)
+        if self.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+
+        mixer = make_mixer(
+            self.d_model,
+            self.layer_cfg,
+            self.attn_cfg,
+            self.is_attn,
+            self.n_layer,
+            self.dtype,
+        )
+        out = mixer(hidden_states, deterministic)
+        hidden_states = out[0] if isinstance(out, tuple) else out
+
+        if not self.identity_mlp:
+            dropped = fnn.Dropout(rate=self.resid_dropout2, name="dropout2")(
+                hidden_states, deterministic=deterministic
+            )
+            residual = dropped + residual
+            hidden_states = fnn.LayerNorm(
+                epsilon=self.layer_norm_epsilon, dtype=norm_dtype, name="norm2"
+            )(residual.astype(norm_dtype)).astype(self.dtype)
+            if self.residual_in_fp32:
+                residual = residual.astype(jnp.float32)
+
+            hidden_states = Mlp(
+                hidden_features=self.d_inner or 4 * self.d_model,
+                n_layer=self.n_layer,
+                dtype=self.dtype,
+                name="mlp",
+            )(hidden_states)
+
+        return hidden_states, residual

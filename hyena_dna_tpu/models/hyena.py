@@ -1,0 +1,186 @@
+"""HyenaOperator: the core long-convolution mixer.
+
+Math parity with `/root/reference/src/models/sequence/hyena.py:270-449`:
+  u (B, L, d) -> in_proj -> (B, (order+1)*d, L) -> depthwise short conv (k=3,
+  causal) -> split into `order` gates x_{order-1}..x_1, x_0 and value v ->
+  recurrence over o: v = dropout(v * x_i); v = longconv(v, k[o]) + bias[o]*v
+  -> y = activation(v * x_0) -> out_proj.
+
+The filter MLP produces (order-1) stacked filters of head_dim channels
+(`hyena.py:373-380,405-412`); per-order bias comes from the filter's `bias`
+parameter reshaped to (order-1, head_dim).
+
+TPU-first notes:
+  * in_proj / out_proj are large dense matmuls -> MXU. Activations flow
+    channel-first (B, C, L) between projections so the FFT (over the last,
+    lane-major axis) and the depthwise conv are contiguous.
+  * The gating multiply + long conv chain is elementwise + FFT; XLA fuses the
+    elementwise ops into the FFT's neighbors.
+  * num_blocks (block-diagonal sequence chunking) and multi-head reshapes are
+    supported as in the reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from hyena_dna_tpu.models.filters import HyenaFilter
+from hyena_dna_tpu.models.nn import activation_fn
+from hyena_dna_tpu.ops import short_conv_1d
+
+
+class HyenaOperator(fnn.Module):
+    d_model: int
+    l_max: int
+    order: int = 2
+    filter_order: int = 64
+    num_heads: int = 1
+    inner_factor: int = 1
+    num_blocks: int = 1
+    outer_mixing: bool = False
+    dropout: float = 0.0
+    filter_dropout: float = 0.0
+    post_order_ffn: bool = False
+    short_filter_order: int = 3
+    activation: str = "id"
+    return_state: bool = False
+    filter_cfg: Optional[dict] = None  # extra HyenaFilter kwargs
+    n_layer: int = 1  # for GPT-2 1/sqrt(2N) out_proj rescale
+    init_std: float = 0.02
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    def setup(self):
+        assert self.d_model % self.num_heads == 0
+        assert self.l_max % self.num_blocks == 0
+        assert self.order >= 2
+        d_inner = self.d_model * self.inner_factor
+
+        # GPT-2 init (`long_conv_lm.py:204-246`): all Linear weights std=0.02,
+        # zero bias; out_proj rescaled by 1/sqrt(2*n_layer).
+        self.in_proj = fnn.Dense(
+            (self.order + 1) * self.d_model,
+            kernel_init=fnn.initializers.normal(stddev=self.init_std),
+            bias_init=fnn.initializers.zeros,
+            dtype=self.dtype,
+            name="in_proj",
+        )
+        self.out_proj = fnn.Dense(
+            self.d_model,
+            kernel_init=fnn.initializers.normal(
+                stddev=self.init_std / math.sqrt(2 * self.n_layer)
+            ),
+            bias_init=fnn.initializers.zeros,
+            dtype=self.dtype,
+            name="out_proj",
+        )
+
+        total_width = d_inner * (self.order + 1)
+        # torch Conv1d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)) with
+        # fan_in = (in_channels/groups) * k = k for depthwise.
+        k = self.short_filter_order
+        bound = 1.0 / math.sqrt(k)
+        conv_init = lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+            key, shape, dtype, -bound, bound
+        )
+        self.short_filter_weight = self.param(
+            "short_filter_weight", conv_init, (total_width, k)
+        )
+        self.short_filter_bias = self.param(
+            "short_filter_bias", conv_init, (total_width,)
+        )
+
+        filter_kwargs = dict(self.filter_cfg or {})
+        self.filter_fn = HyenaFilter(
+            d_model=self.head_dim * self.inner_factor * (self.order - 1),
+            order=self.filter_order,
+            seq_len=self.l_max,
+            dropout=self.filter_dropout,
+            name="filter_fn",
+            **filter_kwargs,
+        )
+
+        if self.post_order_ffn:
+            self.ord_proj_w = self.param(
+                "ord_proj_w",
+                lambda key, shape: jax.random.normal(key, shape)
+                / math.sqrt(self.head_dim),
+                (self.order, self.num_heads, self.num_heads),
+                jnp.float32,
+            )
+
+        self.drop = fnn.Dropout(rate=self.dropout)
+        self.act = activation_fn(self.activation)
+
+    def __call__(
+        self, u: jax.Array, deterministic: bool = True, **kwargs
+    ) -> jax.Array:
+        """u: (B, L, d_model) -> (B, L, d_model)."""
+        l = u.shape[-2]
+        l_filter = min(l, self.l_max)
+
+        u = self.in_proj(u)  # (B, L, (o+1)d)
+        u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
+
+        uc = short_conv_1d(
+            u,
+            self.short_filter_weight.astype(u.dtype),
+            self.short_filter_bias.astype(u.dtype),
+        )
+        uc = uc[..., :l_filter]
+
+        # (B, heads, head_dim*(o+1), blocks, L)
+        b = uc.shape[0]
+        z = self.num_blocks
+        ho = self.num_heads
+        hd = self.head_dim
+        o = self.order
+        uc = uc.reshape(b, ho, hd * (o + 1), z, l_filter // z)
+
+        # split channel groups: x[0], x[1], ..., x[o-1], v
+        splits = jnp.split(uc, o + 1, axis=2)
+        *x, v = splits
+
+        k = self.filter_fn.filter(l_filter)  # (1, L, (o-1)*hd)
+        # (c=1, L, (v o)) -> (o-1, hd, L); reference rearrange
+        # "c l (v o) -> c o v l" treats the channel dim as (v, o) with o fastest
+        k = k[0].reshape(l_filter, hd, o - 1)  # (L, v, o)
+        k = jnp.transpose(k, (2, 1, 0))  # (o-1, v, L)
+
+        bias = self.filter_fn.bias.reshape(hd, o - 1)  # "(v o) -> o v"
+        bias = jnp.transpose(bias, (1, 0))  # (o-1, hd)
+
+        for i, x_i in enumerate(reversed(x[1:])):
+            if self.outer_mixing:
+                v = v[:, :, None] * x_i[:, :, :, None]
+                v = self.drop(v, deterministic=deterministic).sum(axis=2)
+            else:
+                v = self.drop(v * x_i, deterministic=deterministic)
+            # bias broadcast: (1, hd, 1) against v (B, ho, hd, z, L) without L
+            v = self.filter_fn(v, l_filter, k=k[i], bias=bias[i, None, :, None])
+
+            if self.post_order_ffn:
+                w = self.ord_proj_w[i]  # (h1, h2)
+                v = jnp.einsum("ij,bjvzl->bivzl", w, v)
+
+        y = v * x[0]  # final gate
+        # (B, h, v, z, l) -> (B, z*l, h*v)
+        y = jnp.transpose(y, (0, 3, 4, 1, 2)).reshape(b, z * (l_filter // z), ho * hd)
+        y = self.act(y)
+        y = self.out_proj(y)
+
+        if self.return_state:
+            return y, None
+        return y
+
+    @property
+    def d_output(self) -> int:
+        return self.d_model

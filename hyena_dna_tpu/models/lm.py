@@ -1,0 +1,232 @@
+"""LM family: LMBackbone / ConvLMHeadModel / DNAEmbeddingModel.
+
+Parity target: `/root/reference/src/models/sequence/long_conv_lm.py:249-566`
+(and the registered duplicate `dna_embedding.py:18-80`):
+
+  * GPT2Embeddings -> n_layer x Block(prenorm, dropout->add->LN) -> final
+    dropout + add + LN (`long_conv_lm.py:357-397`).
+  * vocab padded up to `pad_vocab_size_multiple` (`long_conv_lm.py:431-434`).
+  * lm_head weight-tied to the embedding table (`long_conv_lm.py:482-485`).
+  * GPT-2 init: Linear/Embedding std 0.02, zero bias, out_proj/fc2 rescaled by
+    1/sqrt(2*n_layer) (`long_conv_lm.py:204-246`) — implemented directly in
+    each module's initializers.
+  * first block's dropout1 is `embed_dropout`, later blocks use
+    `resid_dropout` (`long_conv_lm.py:317`).
+
+TPU-first notes:
+  * Tensor/sequence parallelism is NOT hand-threaded through modules (the
+    reference wires NCCL process groups through flash-attn layers,
+    `long_conv_lm.py:283-295`); instead, parameters and activations get
+    PartitionSpecs from `hyena_dna_tpu.parallel.sharding` and GSPMD inserts
+    the collectives.
+  * `checkpoint_mixer`/`checkpoint_mlp` map to per-block `flax.linen.remat`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as fnn
+
+from hyena_dna_tpu.models.blocks import Block
+from hyena_dna_tpu.models.embeddings import GPT2Embeddings
+
+
+def _pad_vocab(vocab_size: int, multiple: int) -> int:
+    if vocab_size % multiple != 0:
+        vocab_size += multiple - (vocab_size % multiple)
+    return vocab_size
+
+
+class LMBackbone(fnn.Module):
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    layer: Optional[dict] = None  # mixer config (hyena kwargs)
+    attn_layer_idx: Optional[tuple] = None
+    attn_cfg: Optional[dict] = None
+    max_position_embeddings: int = 0
+    resid_dropout: float = 0.0
+    embed_dropout: float = 0.1
+    layer_norm_epsilon: float = 1e-5
+    identity_mlp: bool = False
+    residual_in_fp32: bool = False
+    checkpoint_mixer: bool = False
+    checkpoint_mlp: bool = False
+    init_std: float = 0.02
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embeddings = GPT2Embeddings(
+            embed_dim=self.d_model,
+            vocab_size=self.vocab_size,
+            max_position_embeddings=self.max_position_embeddings,
+            init_std=self.init_std,
+            dtype=self.dtype,
+            name="embeddings",
+        )
+        attn_idx = set(self.attn_layer_idx or ())
+        block_cls = Block
+        if self.checkpoint_mixer or self.checkpoint_mlp:
+            # TPU-idiomatic activation checkpointing: remat whole blocks and
+            # let XLA re-derive intermediates in the backward pass.
+            block_cls = fnn.remat(
+                Block,
+                static_argnums=(3,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        self.layers = [
+            block_cls(
+                d_model=self.d_model,
+                layer_cfg=self.layer,
+                attn_cfg=self.attn_cfg,
+                is_attn=i in attn_idx,
+                d_inner=self.d_inner,
+                identity_mlp=self.identity_mlp,
+                resid_dropout1=self.embed_dropout if i == 0 else self.resid_dropout,
+                resid_dropout2=self.resid_dropout,
+                residual_in_fp32=self.residual_in_fp32,
+                layer_norm_epsilon=self.layer_norm_epsilon,
+                n_layer=self.n_layer,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )
+            for i in range(self.n_layer)
+        ]
+        self.drop_f = fnn.Dropout(rate=self.resid_dropout, name="drop_f")
+        self.ln_f = fnn.LayerNorm(
+            epsilon=self.layer_norm_epsilon, dtype=jnp.float32, name="ln_f"
+        )
+
+    def __call__(
+        self, input_ids: jax.Array, deterministic: bool = True
+    ) -> jax.Array:
+        hidden_states = self.embeddings(input_ids)
+        residual = None
+        for layer in self.layers:
+            hidden_states, residual = layer(hidden_states, residual, deterministic)
+        dropped = self.drop_f(hidden_states, deterministic=deterministic)
+        residual = (dropped + residual) if residual is not None else dropped
+        hidden_states = self.ln_f(residual.astype(jnp.float32))
+        return hidden_states.astype(self.dtype)
+
+
+class ConvLMHeadModel(fnn.Module):
+    """Causal LM: backbone + weight-tied lm_head -> logits.
+
+    Registered as `lm` in the reference (`src/utils/registry.py:24`)."""
+
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    layer: Optional[dict] = None
+    attn_layer_idx: Optional[tuple] = None
+    attn_cfg: Optional[dict] = None
+    max_position_embeddings: int = 0
+    resid_dropout: float = 0.0
+    embed_dropout: float = 0.1
+    layer_norm_epsilon: float = 1e-5
+    pad_vocab_size_multiple: int = 1
+    identity_mlp: bool = False
+    residual_in_fp32: bool = False
+    checkpoint_mixer: bool = False
+    checkpoint_mlp: bool = False
+    init_std: float = 0.02
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = LMBackbone(
+            d_model=self.d_model,
+            n_layer=self.n_layer,
+            d_inner=self.d_inner,
+            vocab_size=_pad_vocab(self.vocab_size, self.pad_vocab_size_multiple),
+            layer=self.layer,
+            attn_layer_idx=self.attn_layer_idx,
+            attn_cfg=self.attn_cfg,
+            max_position_embeddings=self.max_position_embeddings,
+            resid_dropout=self.resid_dropout,
+            embed_dropout=self.embed_dropout,
+            layer_norm_epsilon=self.layer_norm_epsilon,
+            identity_mlp=self.identity_mlp,
+            residual_in_fp32=self.residual_in_fp32,
+            checkpoint_mixer=self.checkpoint_mixer,
+            checkpoint_mlp=self.checkpoint_mlp,
+            init_std=self.init_std,
+            dtype=self.dtype,
+            name="backbone",
+        )
+
+    def __call__(
+        self, input_ids: jax.Array, deterministic: bool = True, state=None
+    ) -> Tuple[jax.Array, None]:
+        hidden_states = self.backbone(input_ids, deterministic=deterministic)
+        # weight-tied head: logits = h @ E^T (fp32 for a stable softmax/CE)
+        lm_logits = self.backbone.embeddings.attend(hidden_states.astype(jnp.float32))
+        return lm_logits, None
+
+    @property
+    def d_output(self) -> int:
+        return _pad_vocab(self.vocab_size, self.pad_vocab_size_multiple)
+
+
+class DNAEmbeddingModel(fnn.Module):
+    """Backbone that returns final hidden states for downstream heads.
+
+    Registered as `dna_embedding` in the reference (`registry.py:27`,
+    `src/models/sequence/dna_embedding.py:18-80`)."""
+
+    d_model: int
+    n_layer: int
+    d_inner: int
+    vocab_size: int
+    layer: Optional[dict] = None
+    attn_layer_idx: Optional[tuple] = None
+    attn_cfg: Optional[dict] = None
+    max_position_embeddings: int = 0
+    resid_dropout: float = 0.0
+    embed_dropout: float = 0.1
+    layer_norm_epsilon: float = 1e-5
+    pad_vocab_size_multiple: int = 1
+    identity_mlp: bool = False
+    residual_in_fp32: bool = False
+    checkpoint_mixer: bool = False
+    checkpoint_mlp: bool = False
+    return_hidden_state: bool = False
+    init_std: float = 0.02
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = LMBackbone(
+            d_model=self.d_model,
+            n_layer=self.n_layer,
+            d_inner=self.d_inner,
+            vocab_size=_pad_vocab(self.vocab_size, self.pad_vocab_size_multiple),
+            layer=self.layer,
+            attn_layer_idx=self.attn_layer_idx,
+            attn_cfg=self.attn_cfg,
+            max_position_embeddings=self.max_position_embeddings,
+            resid_dropout=self.resid_dropout,
+            embed_dropout=self.embed_dropout,
+            layer_norm_epsilon=self.layer_norm_epsilon,
+            identity_mlp=self.identity_mlp,
+            residual_in_fp32=self.residual_in_fp32,
+            checkpoint_mixer=self.checkpoint_mixer,
+            checkpoint_mlp=self.checkpoint_mlp,
+            init_std=self.init_std,
+            dtype=self.dtype,
+            name="backbone",
+        )
+
+    def __call__(
+        self, input_ids: jax.Array, deterministic: bool = True, state=None
+    ) -> Tuple[jax.Array, None]:
+        hidden_states = self.backbone(input_ids, deterministic=deterministic)
+        return hidden_states, None
+
+    @property
+    def d_output(self) -> int:
+        return self.d_model

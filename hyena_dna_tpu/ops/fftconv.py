@@ -1,0 +1,218 @@
+"""Long FFT convolution for Hyena on TPU.
+
+Semantics match the reference implementation (`/root/reference/src/models/sequence/hyena.py:59-88`
+`fftconv_ref` and `/root/reference/src/ops/fftconv.py:15-55`): causal (or
+bidirectional) linear convolution of a length-L signal with a length-L implicit
+filter, computed via a zero-padded length-2L real FFT, plus a per-channel skip
+term ``u * D`` and optional GeLU.
+
+TPU-first design notes:
+  * XLA lowers `jnp.fft.rfft/irfft` to tuned TPU FFT HLOs; the elementwise
+    epilogue (skip, gating, GeLU) is fused by XLA into the surrounding
+    computation, so the jnp path is already "fused" in the sense the reference
+    needed a CUDA kernel for.
+  * FFTs always run in float32 regardless of activation dtype (bf16 FFT loses
+    too much precision at long L); results are cast back.
+  * A `jax.custom_vjp` implements the frequency-domain backward pass (mirrors
+    `/root/reference/src/models/sequence/hyena.py:43-56`), recomputing the two
+    forward FFTs instead of storing the (…, L+1) complex64 spectra — the right
+    trade on HBM-bandwidth-bound TPUs at long L.
+
+Filter broadcasting convention (as in the reference, `hyena.py:77-78`): for
+inputs of rank > 3 the (C, L) filter gains ONE new axis at position 1, i.e.
+(C, 1, L), so it broadcasts over trailing block dims and leading batch/head
+dims of a (B, H, C, Z, L) input.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_k(k_f: jax.Array, u_ndim: int) -> jax.Array:
+    """Apply the reference's `k_f.unsqueeze(1)` rule for rank>3 inputs."""
+    if u_ndim > 3 and k_f.ndim >= 2:
+        return jnp.expand_dims(k_f, 1)
+    return k_f
+
+
+def _reduce_to_shape(x: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """Sum-reduce x (a broadcasted gradient) back down to `shape`."""
+    if x.shape == tuple(shape):
+        return x
+    nd = x.ndim
+    offset = nd - len(shape)
+    axes = []
+    for ax in range(nd):
+        rel = ax - offset
+        if rel < 0 or (shape[rel] == 1 and x.shape[ax] != 1):
+            axes.append(ax)
+    x = jnp.sum(x, axis=tuple(axes), keepdims=False)
+    return x.reshape(shape)
+
+
+def fftconv_ref(
+    u: jax.Array,
+    k: jax.Array,
+    D: Optional[jax.Array] = None,
+    *,
+    gelu: bool = False,
+    k_rev: Optional[jax.Array] = None,
+    bidirectional: bool = False,
+    fft_dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Reference (pure jnp) FFT convolution.
+
+    Args:
+      u: input signal, shape (..., C, L) — length along the last axis.
+      k: filter, shape (C, L); broadcasts per the module convention above.
+      D: optional per-channel skip weight; an L axis is appended internally,
+         then numpy broadcasting applies (the reference passes shapes (C,) or
+         (1, C, 1)).
+      gelu: apply exact GeLU to the output.
+      k_rev: optional reversed-time filter added as conj in frequency domain.
+      bidirectional: center-pad the input (non-causal conv).
+
+    Returns:
+      Array with the shape/dtype of u.
+    """
+    seqlen = u.shape[-1]
+    fft_size = 2 * seqlen
+
+    # torch: k_f = rfft(k)/N then irfft(..., norm="forward") (no 1/N on the
+    # inverse). Net effect == jax default normalization with no extra scaling:
+    # a plain circular convolution on the zero-padded signal.
+    k_f = jnp.fft.rfft(k.astype(fft_dtype), n=fft_size)
+    if k_rev is not None:
+        k_f = k_f + jnp.fft.rfft(k_rev.astype(fft_dtype), n=fft_size).conj()
+
+    if bidirectional:
+        # Pad L//2 zeros before the signal so the filter applies centered
+        # (reference `hyena.py:67-73`).
+        pad_before = seqlen // 2
+        pad_widths = [(0, 0)] * (u.ndim - 1) + [(pad_before, 0)]
+        u_in = jnp.pad(u.astype(fft_dtype), pad_widths)
+    else:
+        u_in = u.astype(fft_dtype)
+
+    u_f = jnp.fft.rfft(u_in, n=fft_size)
+    y = jnp.fft.irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
+
+    if D is not None:
+        y = y + u.astype(fft_dtype) * jnp.asarray(D, fft_dtype)[..., None]
+    if gelu:
+        y = jax.nn.gelu(y, approximate=False)
+    return y.astype(u.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp variant: frequency-domain backward with FFT recompute.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax.Array:
+    """Causal FFT long conv with skip: y = gelu?(conv(u, k) + u*D).
+
+    u: (..., C, L); k: (C, L); D broadcastable against u once an L axis is
+    appended (e.g. (C,) or (1, C, 1)).
+    """
+    return fftconv_ref(u, k, D, gelu=gelu)
+
+
+def _fftconv_fwd(u, k, D, gelu):
+    y = fftconv_ref(u, k, D, gelu=gelu)
+    # Save the small real inputs; recompute spectra in the backward pass.
+    return y, (u, k, D)
+
+
+def _fftconv_bwd(gelu, res, dy):
+    u, k, D = res
+    seqlen = u.shape[-1]
+    fft_size = 2 * seqlen
+    f32 = jnp.float32
+
+    u_f = jnp.fft.rfft(u.astype(f32), n=fft_size)
+    k_f = jnp.fft.rfft(k.astype(f32), n=fft_size)
+    k_f_b = _expand_k(k_f, u.ndim)
+
+    D_arr = jnp.asarray(D)
+    D_full = D_arr.astype(f32)[..., None]
+
+    dy = dy.astype(f32)
+    if gelu:
+        # Recompute pre-activation to differentiate through exact GeLU.
+        pre = jnp.fft.irfft(u_f * k_f_b, n=fft_size)[..., :seqlen]
+        pre = pre + u.astype(f32) * D_full
+        inv_sqrt2 = 1.0 / math.sqrt(2.0)
+        cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
+        pdf = jnp.exp(-0.5 * pre * pre) / math.sqrt(2.0 * math.pi)
+        dy = dy * (cdf + pre * pdf)
+
+    dy_f = jnp.fft.rfft(dy, n=fft_size)
+
+    # dL/du: correlation with k == irfft(dy_f * conj(k_f)).
+    du = jnp.fft.irfft(dy_f * k_f_b.conj(), n=fft_size)[..., :seqlen]
+    du = du + dy * D_full
+
+    # dL/dk: irfft(dy_f * conj(u_f)), reduced over broadcast dims.
+    dk_full = jnp.fft.irfft(dy_f * u_f.conj(), n=fft_size)[..., :seqlen]
+    k_b_shape = _expand_k(k, u.ndim).shape
+    dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
+
+    # dL/dD: dy * u reduced over dims broadcast against D (plus the L axis).
+    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
+fftconv.defvjp(_fftconv_fwd, _fftconv_bwd)
+
+
+def fftconv_h3(
+    k: jax.Array,
+    ssm_kernel: jax.Array,
+    D: jax.Array,
+    q: jax.Array,
+    v: jax.Array,
+    head_dim: int = 1,
+    ssm_kernel_rev: Optional[jax.Array] = None,
+) -> jax.Array:
+    """H3-style gated FFT conv (reference `/root/reference/src/ops/fftconv.py:33-55`).
+
+    kv = k ⊗ v (per head outer product), convolved with ssm_kernel plus D
+    skip, then contracted with q.
+
+    Shapes (matching the reference einsum layout):
+      k, q, v: (B, H, L) with H = num_heads * head_dim
+      ssm_kernel: (H, L); D: (H,)
+    """
+    seqlen = k.shape[-1]
+    fft_size = 2 * seqlen
+    f32 = jnp.float32
+
+    kernel_f = jnp.fft.rfft(ssm_kernel.astype(f32), n=fft_size)  # (H, N/2+1)
+    if ssm_kernel_rev is not None:
+        kernel_f = kernel_f + jnp.fft.rfft(
+            ssm_kernel_rev.astype(f32), n=fft_size
+        ).conj()
+
+    b = k.shape[0]
+    kv = jnp.einsum(
+        "bfhl,bghl->bfghl",
+        k.reshape(b, -1, head_dim, seqlen).astype(f32),
+        v.reshape(b, -1, head_dim, seqlen).astype(f32),
+    )
+    kv_f = jnp.fft.rfft(kv, n=fft_size) / fft_size
+    h = ssm_kernel.shape[0]
+    kernel_f_r = kernel_f.reshape(h // head_dim, head_dim, 1, fft_size // 2 + 1)
+    y = jnp.fft.irfft(kv_f * kernel_f_r, n=fft_size, norm="forward")[..., :seqlen]
+    out = y + kv * jnp.asarray(D, f32).reshape(h // head_dim, head_dim, 1, 1)
+    q_r = q.reshape(b, -1, head_dim, seqlen).astype(f32)
+    out = jnp.einsum("bfghl,bfhl->bghl", out, q_r)
+    return out.reshape(b, -1, seqlen).astype(v.dtype)

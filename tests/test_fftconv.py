@@ -1,0 +1,115 @@
+"""Parity tests: JAX fftconv vs torch oracle and vs direct convolution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from hyena_dna_tpu.ops import fftconv, fftconv_ref, short_conv_1d
+
+from torch_oracle import fftconv_oracle, short_conv_oracle
+
+
+@pytest.mark.parametrize("L", [16, 100, 1024])
+@pytest.mark.parametrize("shape", ["bcl", "bhvzl"])
+def test_fftconv_matches_oracle(L, shape):
+    rng = np.random.default_rng(0)
+    C = 8
+    if shape == "bcl":
+        u = rng.standard_normal((2, C, L)).astype(np.float32)
+        D = rng.standard_normal((C,)).astype(np.float32)
+    else:
+        u = rng.standard_normal((2, 1, C, 1, L)).astype(np.float32)
+        D = rng.standard_normal((1, C, 1)).astype(np.float32)
+    k = rng.standard_normal((C, L)).astype(np.float32)
+
+    got = np.asarray(fftconv_ref(jnp.asarray(u), jnp.asarray(k), jnp.asarray(D)))
+    want = fftconv_oracle(torch.as_tensor(u), torch.as_tensor(k), torch.as_tensor(D)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fftconv_is_causal_conv():
+    """Direct O(L^2) causal convolution check."""
+    rng = np.random.default_rng(1)
+    L, C = 32, 3
+    u = rng.standard_normal((1, C, L)).astype(np.float32)
+    k = rng.standard_normal((C, L)).astype(np.float32)
+    got = np.asarray(fftconv_ref(jnp.asarray(u), jnp.asarray(k), None))
+    want = np.zeros_like(u[0])
+    for c in range(C):
+        for t in range(L):
+            want[c, t] = sum(u[0, c, s] * k[c, t - s] for s in range(t + 1))
+    np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_fftconv_gelu_and_custom_vjp_grads():
+    rng = np.random.default_rng(2)
+    B, C, L = 2, 4, 64
+    u = jnp.asarray(rng.standard_normal((B, C, L)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((C, L)).astype(np.float32))
+    D = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+
+    for gelu in (False, True):
+        # forward parity custom_vjp vs ref
+        y1 = fftconv(u, k, D, gelu)
+        y2 = fftconv_ref(u, k, D, gelu=gelu)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5, atol=1e-5)
+
+        # gradient parity: custom_vjp vs autodiff through the ref
+        f1 = lambda u, k, D: jnp.sum(jnp.sin(fftconv(u, k, D, gelu)))
+        f2 = lambda u, k, D: jnp.sum(jnp.sin(fftconv_ref(u, k, D, gelu=gelu)))
+        g1 = jax.grad(f1, argnums=(0, 1, 2))(u, k, D)
+        g2 = jax.grad(f2, argnums=(0, 1, 2))(u, k, D)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fftconv_vjp_grads_5d_broadcast():
+    """The Hyena inner loop shape: u (B, H, C, Z, L), k (C, L), D (1, C, 1)."""
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((2, 1, 4, 1, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((4, 32)).astype(np.float32))
+    D = jnp.asarray(rng.standard_normal((1, 4, 1)).astype(np.float32))
+
+    f1 = lambda u, k, D: jnp.sum(jnp.tanh(fftconv(u, k, D, False)))
+    f2 = lambda u, k, D: jnp.sum(jnp.tanh(fftconv_ref(u, k, D)))
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(u, k, D)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(u, k, D)
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fftconv_bidirectional():
+    rng = np.random.default_rng(4)
+    u = rng.standard_normal((2, 4, 48)).astype(np.float32)
+    k = rng.standard_normal((4, 48)).astype(np.float32)
+    got = np.asarray(fftconv_ref(jnp.asarray(u), jnp.asarray(k), None, bidirectional=True))
+    want = fftconv_oracle(torch.as_tensor(u), torch.as_tensor(k), None, bidirectional=True).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fftconv_bf16_inputs():
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((2, 4, 128)).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((4, 128)).astype(np.float32))
+    D = jnp.asarray(rng.standard_normal((4,)).astype(np.float32))
+    y = fftconv(u, k, D, False)
+    assert y.dtype == jnp.bfloat16
+    y32 = fftconv(u.astype(jnp.float32), k, D, False)
+    np.testing.assert_allclose(
+        np.asarray(y, dtype=np.float32), np.asarray(y32), rtol=0.05, atol=0.05
+    )
+
+
+@pytest.mark.parametrize("K", [3, 5])
+def test_short_conv_matches_torch(K):
+    rng = np.random.default_rng(6)
+    B, C, L = 2, 6, 40
+    x = rng.standard_normal((B, C, L)).astype(np.float32)
+    w = rng.standard_normal((C, K)).astype(np.float32)
+    b = rng.standard_normal((C,)).astype(np.float32)
+    got = np.asarray(short_conv_1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    want = short_conv_oracle(torch.as_tensor(x), torch.as_tensor(w), torch.as_tensor(b)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

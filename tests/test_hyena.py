@@ -1,0 +1,138 @@
+"""Parity tests: HyenaFilter / HyenaOperator vs the torch oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from hyena_dna_tpu.models import HyenaFilter, HyenaOperator
+
+from torch_oracle import hyena_filter_oracle, hyena_operator_oracle, pos_emb_oracle
+
+
+def test_positional_embedding_matches():
+    from hyena_dna_tpu.models.filters import positional_embedding_init
+
+    for emb_dim, L in [(3, 64), (5, 1024)]:
+        z = np.asarray(positional_embedding_init(emb_dim, L))
+        z_t, _ = pos_emb_oracle(emb_dim, L)
+        np.testing.assert_allclose(z, z_t.numpy(), rtol=1e-5, atol=1e-6)
+
+
+def _filter_params_to_oracle(params, num_inner_mlps):
+    """Map flax param tree -> oracle dict (transpose Dense kernels)."""
+    out = {
+        "pos_emb_z": np.asarray(params["pos_emb_z"]),
+        "freq": np.asarray(params["freq"]),
+        "deltas": np.asarray(params["deltas"]),
+        "mlp_in_w": np.asarray(params["mlp_in"]["kernel"]).T,
+        "mlp_in_b": np.asarray(params["mlp_in"]["bias"]),
+        "mlp_out_w": np.asarray(params["mlp_out"]["kernel"]).T,
+    }
+    for i in range(num_inner_mlps):
+        out[f"mlp_inner_{i}_w"] = np.asarray(params[f"mlp_inner_{i}"]["kernel"]).T
+        out[f"mlp_inner_{i}_b"] = np.asarray(params[f"mlp_inner_{i}"]["bias"])
+    return out
+
+
+def test_hyena_filter_matches_oracle():
+    d, emb_dim, order, L = 16, 5, 8, 128
+    mod = HyenaFilter(d_model=d, emb_dim=emb_dim, order=order, seq_len=L, w=10)
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, d, L)), L)["params"]
+
+    k = mod.apply({"params": params}, L, method=HyenaFilter.filter)
+    oracle_params = _filter_params_to_oracle(params, 2)
+    k_t = hyena_filter_oracle(oracle_params, L, L, emb_dim).numpy()
+    np.testing.assert_allclose(np.asarray(k), k_t, rtol=1e-4, atol=1e-5)
+
+
+def test_hyena_filter_short_slice():
+    """Filters for L < seq_len slice the stored positional features."""
+    d, emb_dim, L = 8, 5, 256
+    mod = HyenaFilter(d_model=d, emb_dim=emb_dim, order=16, seq_len=L)
+    params = mod.init(jax.random.PRNGKey(1), jnp.zeros((1, d, L)), L)["params"]
+    k_full = mod.apply({"params": params}, L, method=HyenaFilter.filter)
+    k_half = mod.apply({"params": params}, L // 2, method=HyenaFilter.filter)
+    np.testing.assert_allclose(
+        np.asarray(k_full[:, : L // 2]), np.asarray(k_half), rtol=1e-5, atol=1e-6
+    )
+
+
+def _operator_params_to_oracle(params, num_inner_mlps=2):
+    fparams = params["filter_fn"]
+    out = {
+        "in_proj_w": np.asarray(params["in_proj"]["kernel"]).T,
+        "in_proj_b": np.asarray(params["in_proj"]["bias"]),
+        "out_proj_w": np.asarray(params["out_proj"]["kernel"]).T,
+        "out_proj_b": np.asarray(params["out_proj"]["bias"]),
+        "short_w": np.asarray(params["short_filter_weight"]),
+        "short_b": np.asarray(params["short_filter_bias"]),
+        "filter_bias": np.asarray(fparams["bias"]),
+    }
+    for k, v in _filter_params_to_oracle(fparams, num_inner_mlps).items():
+        out["filter_" + k] = v
+    return out
+
+
+def test_hyena_operator_matches_oracle_order2():
+    d, L, order = 32, 128, 2
+    mod = HyenaOperator(
+        d_model=d, l_max=L, order=order, filter_order=64,
+        filter_cfg=dict(emb_dim=5, w=10),
+    )
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((2, L, d)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), u)
+    y = mod.apply(variables, u)
+
+    oracle_params = _operator_params_to_oracle(variables["params"])
+    y_t = hyena_operator_oracle(
+        oracle_params, torch.as_tensor(np.asarray(u)), order, d, L, emb_dim=5
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(y), y_t, rtol=1e-3, atol=1e-4)
+
+
+def test_hyena_operator_matches_oracle_order3():
+    d, L, order = 16, 64, 3
+    mod = HyenaOperator(
+        d_model=d, l_max=L, order=order, filter_order=32,
+        filter_cfg=dict(emb_dim=3, w=1),
+    )
+    u = jnp.asarray(np.random.default_rng(1).standard_normal((2, L, d)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(1), u)
+    y = mod.apply(variables, u)
+
+    oracle_params = _operator_params_to_oracle(variables["params"])
+    y_t = hyena_operator_oracle(
+        oracle_params, torch.as_tensor(np.asarray(u)), order, d, L, emb_dim=3
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(y), y_t, rtol=1e-3, atol=1e-4)
+
+
+def test_hyena_operator_short_input():
+    """Input shorter than l_max uses k[:L] slices (`hyena.py:389-390,405`)."""
+    d, L = 16, 64
+    mod = HyenaOperator(d_model=d, l_max=L, order=2, filter_cfg=dict(emb_dim=3))
+    u = jnp.asarray(np.random.default_rng(2).standard_normal((1, L // 2, d)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(2), u)
+    y = mod.apply(variables, u)
+    assert y.shape == (1, L // 2, d)
+
+
+def test_hyena_operator_grads_finite():
+    d, L = 16, 64
+    mod = HyenaOperator(d_model=d, l_max=L, order=2, filter_cfg=dict(emb_dim=3))
+    u = jnp.asarray(np.random.default_rng(3).standard_normal((1, L, d)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(3), u)
+
+    def loss(params):
+        return jnp.sum(mod.apply({"params": params}, u) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in flat)
+    # every param receives gradient except (possibly) frozen-by-design ones
+    zero_names = [
+        k for k, v in jax.tree_util.tree_leaves_with_path(g)
+        if not bool(jnp.any(v != 0))
+    ]
+    assert len(zero_names) == 0, f"zero grads: {zero_names}"
