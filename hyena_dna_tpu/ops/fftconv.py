@@ -34,6 +34,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _rfft(x: jax.Array, n: int) -> jax.Array:
+    """rfft over the last axis, computed on a 2D view.
+
+    XLA's CPU FFT thunk requires dim0-major layouts; under GSPMD sharding of a
+    middle dim the cotangent buffers can violate that. Flattening the leading
+    dims to one axis pins a canonical layout on every backend and is free on
+    TPU (bitcast reshape)."""
+    shape = x.shape
+    y = jnp.fft.rfft(x.reshape(-1, shape[-1]), n=n)
+    return y.reshape(*shape[:-1], n // 2 + 1)
+
+
+def _irfft(x: jax.Array, n: int) -> jax.Array:
+    """irfft over the last axis on a 2D view (see _rfft)."""
+    shape = x.shape
+    y = jnp.fft.irfft(x.reshape(-1, shape[-1]), n=n)
+    return y.reshape(*shape[:-1], n)
+
+
 def _expand_k(k_f: jax.Array, u_ndim: int) -> jax.Array:
     """Apply the reference's `k_f.unsqueeze(1)` rule for rank>3 inputs."""
     if u_ndim > 3 and k_f.ndim >= 2:
@@ -87,9 +106,9 @@ def fftconv_ref(
     # torch: k_f = rfft(k)/N then irfft(..., norm="forward") (no 1/N on the
     # inverse). Net effect == jax default normalization with no extra scaling:
     # a plain circular convolution on the zero-padded signal.
-    k_f = jnp.fft.rfft(k.astype(fft_dtype), n=fft_size)
+    k_f = _rfft(k.astype(fft_dtype), n=fft_size)
     if k_rev is not None:
-        k_f = k_f + jnp.fft.rfft(k_rev.astype(fft_dtype), n=fft_size).conj()
+        k_f = k_f + _rfft(k_rev.astype(fft_dtype), n=fft_size).conj()
 
     if bidirectional:
         # Pad L//2 zeros before the signal so the filter applies centered
@@ -100,8 +119,8 @@ def fftconv_ref(
     else:
         u_in = u.astype(fft_dtype)
 
-    u_f = jnp.fft.rfft(u_in, n=fft_size)
-    y = jnp.fft.irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
+    u_f = _rfft(u_in, n=fft_size)
+    y = _irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
 
     if D is not None:
         y = y + u.astype(fft_dtype) * jnp.asarray(D, fft_dtype)[..., None]
@@ -137,8 +156,8 @@ def _fftconv_bwd(gelu, res, dy):
     fft_size = 2 * seqlen
     f32 = jnp.float32
 
-    u_f = jnp.fft.rfft(u.astype(f32), n=fft_size)
-    k_f = jnp.fft.rfft(k.astype(f32), n=fft_size)
+    u_f = _rfft(u.astype(f32), n=fft_size)
+    k_f = _rfft(k.astype(f32), n=fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
 
     D_arr = jnp.asarray(D)
@@ -147,21 +166,21 @@ def _fftconv_bwd(gelu, res, dy):
     dy = dy.astype(f32)
     if gelu:
         # Recompute pre-activation to differentiate through exact GeLU.
-        pre = jnp.fft.irfft(u_f * k_f_b, n=fft_size)[..., :seqlen]
+        pre = _irfft(u_f * k_f_b, n=fft_size)[..., :seqlen]
         pre = pre + u.astype(f32) * D_full
         inv_sqrt2 = 1.0 / math.sqrt(2.0)
         cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
         pdf = jnp.exp(-0.5 * pre * pre) / math.sqrt(2.0 * math.pi)
         dy = dy * (cdf + pre * pdf)
 
-    dy_f = jnp.fft.rfft(dy, n=fft_size)
+    dy_f = _rfft(dy, n=fft_size)
 
     # dL/du: correlation with k == irfft(dy_f * conj(k_f)).
-    du = jnp.fft.irfft(dy_f * k_f_b.conj(), n=fft_size)[..., :seqlen]
+    du = _irfft(dy_f * k_f_b.conj(), n=fft_size)[..., :seqlen]
     du = du + dy * D_full
 
     # dL/dk: irfft(dy_f * conj(u_f)), reduced over broadcast dims.
-    dk_full = jnp.fft.irfft(dy_f * u_f.conj(), n=fft_size)[..., :seqlen]
+    dk_full = _irfft(dy_f * u_f.conj(), n=fft_size)[..., :seqlen]
     k_b_shape = _expand_k(k, u.ndim).shape
     dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
 
@@ -196,9 +215,9 @@ def fftconv_h3(
     fft_size = 2 * seqlen
     f32 = jnp.float32
 
-    kernel_f = jnp.fft.rfft(ssm_kernel.astype(f32), n=fft_size)  # (H, N/2+1)
+    kernel_f = _rfft(ssm_kernel.astype(f32), n=fft_size)  # (H, N/2+1)
     if ssm_kernel_rev is not None:
-        kernel_f = kernel_f + jnp.fft.rfft(
+        kernel_f = kernel_f + _rfft(
             ssm_kernel_rev.astype(f32), n=fft_size
         ).conj()
 
@@ -208,10 +227,11 @@ def fftconv_h3(
         k.reshape(b, -1, head_dim, seqlen).astype(f32),
         v.reshape(b, -1, head_dim, seqlen).astype(f32),
     )
-    kv_f = jnp.fft.rfft(kv, n=fft_size) / fft_size
+    kv_f = _rfft(kv, n=fft_size) / fft_size
     h = ssm_kernel.shape[0]
     kernel_f_r = kernel_f.reshape(h // head_dim, head_dim, 1, fft_size // 2 + 1)
-    y = jnp.fft.irfft(kv_f * kernel_f_r, n=fft_size, norm="forward")[..., :seqlen]
+    # norm="forward" irfft == unnormalized inverse == default irfft * N
+    y = (_irfft(kv_f * kernel_f_r, n=fft_size) * fft_size)[..., :seqlen]
     out = y + kv * jnp.asarray(D, f32).reshape(h // head_dim, head_dim, 1, 1)
     q_r = q.reshape(b, -1, head_dim, seqlen).astype(f32)
     out = jnp.einsum("bfghl,bfhl->bghl", out, q_r)

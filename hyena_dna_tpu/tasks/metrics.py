@@ -1,0 +1,310 @@
+"""Metric functions.
+
+Two tiers, mirroring the reference's split between per-batch functional
+metrics (`/root/reference/src/tasks/metrics.py:164-360`) and stateful
+epoch-exact torchmetrics (`/root/reference/src/tasks/torchmetrics.py:24-115`):
+
+  * **Device metrics** (`METRIC_FNS`): pure jnp, computed inside the jitted
+    step, reduced over the mesh by the surrounding pjit — cross-entropy
+    (ignore_index via masking, not boolean indexing: static shapes for XLA),
+    accuracy (+@k), mse/mae, ppl/bpb, last-k/per-token perplexity.
+  * **Host metrics** (`HOST_METRIC_FNS`): whole-epoch numpy/sklearn metrics
+    (mcc, f1, roc-auc) computed in the eval loop from accumulated
+    (preds/probs, targets) — these need the full label stream and are not
+    meaningfully jittable.
+
+Sufficient-statistic accumulators (`Perplexity`, `NumTokens`) replace the
+reference's distributed torchmetrics: the step returns (Σ nll·n, Σ n) pairs
+that are exact under any batching, matching `torchmetrics.py:68-73`
+(ppl = exp(Σ loss·count / Σ count)).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# device (jnp) metrics — all take (logits/outs, y) and return a scalar
+# --------------------------------------------------------------------------
+
+
+def _flatten_logits(logits: jax.Array) -> jax.Array:
+    return logits.reshape(-1, logits.shape[-1])
+
+
+def cross_entropy(logits, y, ignore_index: int = -100):
+    """Mean CE over non-ignored positions (`metrics.py:179-182`)."""
+    logits = _flatten_logits(logits).astype(jnp.float32)
+    y = y.reshape(-1)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    # clip ignored labels to a valid index for the gather, then mask out
+    y_safe = jnp.where(y == ignore_index, 0, y)
+    nll = logz - jnp.take_along_axis(logits, y_safe[:, None], axis=-1)[:, 0]
+    mask = (y != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def cross_entropy_stats(logits, y, ignore_index: int = -100):
+    """(Σ nll, Σ count) sufficient statistics for exact epoch perplexity."""
+    logits = _flatten_logits(logits).astype(jnp.float32)
+    y = y.reshape(-1)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    y_safe = jnp.where(y == ignore_index, 0, y)
+    nll = logz - jnp.take_along_axis(logits, y_safe[:, None], axis=-1)[:, 0]
+    mask = (y != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask), jnp.sum(mask)
+
+
+def padded_cross_entropy(logits, y, pad_mask=None, pad_value: int = -1):
+    """CE ignoring positions where pad_mask marks padding
+    (`metrics.py:163-177`: y + mask*pad_value then ignore_index=pad_value)."""
+    if pad_mask is not None:
+        y = jnp.where(pad_mask.astype(bool), pad_value, y)
+    return cross_entropy(logits, y, ignore_index=pad_value)
+
+
+def soft_cross_entropy(logits, y, label_smoothing: float = 0.0):
+    logits = _flatten_logits(logits).astype(jnp.float32)
+    n = logits.shape[-1]
+    if y.ndim == logits.ndim - 1 or y.shape == logits.shape[:-1]:
+        y = jax.nn.one_hot(y.reshape(-1), n)
+    else:
+        y = y.reshape(-1, n)
+    if label_smoothing:
+        y = y * (1 - label_smoothing) + label_smoothing / n
+    return -jnp.mean(jnp.sum(y * jax.nn.log_softmax(logits, axis=-1), axis=-1))
+
+
+def binary_cross_entropy(logits, y):
+    logits = logits.squeeze(-1).astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(logits, 0) - logits * y + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def binary_accuracy(logits, y):
+    return jnp.mean((logits.squeeze(-1) >= 0) == y)
+
+
+def accuracy(logits, y):
+    logits = _flatten_logits(logits)
+    preds = jnp.argmax(logits, axis=-1)
+    if y.size > logits.shape[0]:  # mixup-style soft labels
+        y = jnp.argmax(y, axis=-1)
+    return jnp.mean((preds == y.reshape(-1)).astype(jnp.float32))
+
+
+def accuracy_ignore_index(logits, y, ignore_index: int = -100):
+    logits = _flatten_logits(logits)
+    y = y.reshape(-1)
+    preds = jnp.argmax(logits, axis=-1)
+    mask = (y != ignore_index).astype(jnp.float32)
+    return jnp.sum((preds == y) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def accuracy_at_k(logits, y, k: int = 1):
+    logits = _flatten_logits(logits)
+    if y.size > logits.shape[0]:
+        y = jnp.argmax(y, axis=-1)
+    y = y.reshape(-1)
+    _, topk = jax.lax.top_k(logits, k)
+    return jnp.mean(jnp.any(topk == y[:, None], axis=-1).astype(jnp.float32))
+
+
+def mse(outs, y, len_batch=None):
+    if y.ndim < outs.ndim:
+        outs = outs.squeeze(-1)
+    return jnp.mean((outs - y) ** 2)
+
+
+def mae(outs, y, len_batch=None):
+    if y.ndim < outs.ndim:
+        outs = outs.squeeze(-1)
+    return jnp.mean(jnp.abs(outs - y))
+
+
+def forecast_rmse(outs, y, len_batch=None):
+    return jnp.mean(jnp.sqrt(jnp.mean((outs - y) ** 2, axis=1)))
+
+
+def last_k_ppl(logits, y, seq_len: int = 1024, k: int | None = None):
+    """Perplexity over the last k tokens of each sequence
+    (`metrics.py:92-118`); k=None uses the whole sequence."""
+    if k is None:
+        k = 0
+    logits = logits.reshape(-1, seq_len, logits.shape[-1]).astype(jnp.float32)
+    y = y.reshape(-1, seq_len)
+    logits = logits[:, -k:, :]
+    y = y[:, -k:]
+    flat = logits.reshape(-1, logits.shape[-1])
+    yf = y.reshape(-1)
+    nll = jax.nn.logsumexp(flat, axis=-1) - jnp.take_along_axis(
+        flat, yf[:, None], axis=-1
+    )[:, 0]
+    return jnp.exp(jnp.mean(nll))
+
+
+def per_token_ppl(logits, y, seq_len: int = 1024, ks=None):
+    """Perplexity at specific positions (HG38Task's per-token metric,
+    `/root/reference/src/tasks/tasks.py:286-316`). Returns a vector over ks."""
+    ks = jnp.asarray(ks if ks is not None else [seq_len], dtype=jnp.int32)
+    logits = logits.reshape(-1, seq_len, logits.shape[-1]).astype(jnp.float32)
+    y = y.reshape(-1, seq_len)
+    nll = jax.nn.logsumexp(logits, axis=-1) - jnp.take_along_axis(
+        logits, y[..., None], axis=-1
+    )[..., 0]  # (B, L)
+    return jnp.exp(jnp.mean(nll[:, ks - 1], axis=0))
+
+
+# metrics that wrap the task loss (`metrics.py:302-313`)
+def loss_metric(x, y, loss_fn):
+    return loss_fn(x, y)
+
+
+def bpb(x, y, loss_fn):
+    return loss_fn(x, y) / math.log(2)
+
+
+def ppl(x, y, loss_fn):
+    return jnp.exp(loss_fn(x, y))
+
+
+METRIC_FNS: Dict[str, Callable] = {
+    "cross_entropy": cross_entropy,
+    "padded_cross_entropy": padded_cross_entropy,
+    "soft_cross_entropy": soft_cross_entropy,
+    "binary_cross_entropy": binary_cross_entropy,
+    "binary_accuracy": binary_accuracy,
+    "accuracy": accuracy,
+    "accuracy_ignore_index": accuracy_ignore_index,
+    "accuracy@3": partial(accuracy_at_k, k=3),
+    "accuracy@5": partial(accuracy_at_k, k=5),
+    "accuracy@10": partial(accuracy_at_k, k=10),
+    "mse": mse,
+    "mae": mae,
+    "forecast_rmse": forecast_rmse,
+    "last_k_ppl": last_k_ppl,
+    "per_token_ppl": per_token_ppl,
+}
+
+LOSS_METRIC_FNS: Dict[str, Callable] = {
+    "loss": loss_metric,
+    "bpb": bpb,
+    "ppl": ppl,
+}
+
+
+# --------------------------------------------------------------------------
+# host (numpy/sklearn) metrics — whole-epoch, from accumulated predictions
+# --------------------------------------------------------------------------
+
+
+def _host_flatten(logits, y):
+    logits = np.asarray(logits).reshape(-1, np.asarray(logits).shape[-1])
+    y = np.asarray(y).reshape(-1)
+    return logits, y
+
+
+def mcc(logits, y):
+    from sklearn.metrics import matthews_corrcoef
+
+    logits, y = _host_flatten(logits, y)
+    return matthews_corrcoef(y, np.argmax(logits, axis=-1))
+
+
+def f1_binary(logits, y):
+    from sklearn.metrics import f1_score
+
+    logits, y = _host_flatten(logits, y)
+    return f1_score(y, np.argmax(logits, axis=-1), average="binary")
+
+
+def f1_macro(logits, y):
+    from sklearn.metrics import f1_score
+
+    logits, y = _host_flatten(logits, y)
+    return f1_score(y, np.argmax(logits, axis=-1), average="macro")
+
+
+def f1_micro(logits, y):
+    from sklearn.metrics import f1_score
+
+    logits, y = _host_flatten(logits, y)
+    return f1_score(y, np.argmax(logits, axis=-1), average="micro")
+
+
+def _softmax_np(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+def roc_auc_macro(logits, y):
+    from sklearn.metrics import roc_auc_score
+
+    logits, y = _host_flatten(logits, y)
+    return roc_auc_score(y, _softmax_np(logits)[:, 1], average="macro")
+
+
+def roc_auc_micro(logits, y):
+    from sklearn.metrics import roc_auc_score
+
+    logits, y = _host_flatten(logits, y)
+    return roc_auc_score(y, _softmax_np(logits)[:, 1], average="micro")
+
+
+HOST_METRIC_FNS: Dict[str, Callable] = {
+    "mcc": mcc,
+    "f1_binary": f1_binary,
+    "f1_macro": f1_macro,
+    "f1_micro": f1_micro,
+    "roc_auc_macro": roc_auc_macro,
+    "roc_auc_micro": roc_auc_micro,
+}
+
+
+# --------------------------------------------------------------------------
+# epoch accumulators (torchmetrics equivalents)
+# --------------------------------------------------------------------------
+
+
+class Perplexity:
+    """exp(Σ nll·count / Σ count) — exact under any batch partitioning
+    (`torchmetrics.py:24-73`)."""
+
+    def __init__(self):
+        self.total_nll = 0.0
+        self.count = 0.0
+
+    def update(self, nll_sum, count):
+        self.total_nll += float(nll_sum)
+        self.count += float(count)
+
+    def compute(self) -> float:
+        return math.exp(self.total_nll / self.count) if self.count else float("nan")
+
+    def reset(self):
+        self.total_nll = 0.0
+        self.count = 0.0
+
+
+class NumTokens:
+    """Tokens seen; persists across epochs (`torchmetrics.py:75-115`)."""
+
+    def __init__(self):
+        self.count = 0
+
+    def update(self, n):
+        self.count += int(n)
+
+    def compute(self) -> int:
+        return self.count
+
+    def reset(self):  # persistent by design
+        pass

@@ -1,0 +1,208 @@
+"""Optimizer assembly: AdamW with per-parameter hyperparameter groups and
+step-wise schedules.
+
+Reproduces the reference's `_optim` mechanism
+(`/root/reference/src/utils/train.py:142-156`,
+`src/models/sequence/hyena.py:222-227`, `train.py:443-523`) on optax:
+
+  * Hyena filter-MLP weights train at their own lr (default 1e-3, wired to
+    `optimizer.lr` in the hg38 config) with weight_decay 0.
+  * The positional-embedding `z` trains at `lr_pos_emb` (0 = frozen — the
+    reference freezes via `requires_grad=False` when lr==0).
+  * Modulation `deltas` are frozen by default (`modulation_lr=0.0`,
+    reference `hyena.py:141`).
+  * Bias / LayerNorm / Embedding parameters get weight_decay 0
+    (`src/utils/optim_groups.py:14-38`).
+  * Everything else: main lr/wd.
+
+Schedules are python callables `step -> lr`, matching the reference's
+step-interval timm cosine (`src/utils/optim/schedulers.py:66-87`) and the
+CosineWarmup / InvSqrt / Constant variants (`schedulers.py:11-64`).
+
+The group structure is expressed with `optax.multi_transform` over a label
+tree derived purely from parameter *paths* — the flax analog of the
+reference's per-tensor `_optim` attributes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+
+# --------------------------------------------------------------------------
+# schedules (step -> lr), mirroring src/utils/optim/schedulers.py
+# --------------------------------------------------------------------------
+
+
+def timm_cosine(
+    base_lr: float,
+    t_initial: int,
+    lr_min: float = 0.0,
+    warmup_t: int = 0,
+    warmup_lr_init: float = 0.0,
+    cycle_limit: int = 1,
+    t_in_epochs: bool = False,  # accepted for config parity; steps only here
+    **_,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """timm CosineLRScheduler semantics: linear warmup from warmup_lr_init to
+    base_lr over warmup_t, then cosine from base_lr to lr_min over
+    (t_initial - warmup_t); holds lr_min after cycle_limit cycles."""
+    t_initial = max(int(t_initial), 1)
+    warmup_t = int(warmup_t)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = warmup_lr_init + step * (
+            (base_lr - warmup_lr_init) / max(warmup_t, 1)
+        )
+        t = jnp.clip(step - warmup_t, 0, max(t_initial - warmup_t, 1))
+        frac = t / max(t_initial - warmup_t, 1)
+        cos = lr_min + 0.5 * (base_lr - lr_min) * (1 + jnp.cos(math.pi * frac))
+        return jnp.where(step < warmup_t, warm, cos)
+
+    return schedule
+
+
+def cosine_warmup(base_lr: float, T_max: int, eta_min: float = 0.0, warmup_step: int = 0, **_):
+    """torch CosineAnnealingLR + linear warmup (`schedulers.py:11-37`)."""
+    T = max(int(T_max) - int(warmup_step), 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / max(warmup_step, 1)
+        t = jnp.clip(step - warmup_step, 0, T)
+        cos = eta_min + 0.5 * (base_lr - eta_min) * (1 + jnp.cos(math.pi * t / T))
+        return jnp.where(step < warmup_step, warm, cos)
+
+    return schedule
+
+
+def invsqrt(base_lr: float, warmup_step: int = 0, **_):
+    """Attention-is-all-you-need inverse sqrt (`schedulers.py:40-52`)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / jnp.maximum(warmup_step, 1) ** 1.5
+        decay = base_lr / jnp.sqrt(jnp.maximum(step, 1.0))
+        return jnp.where(step <= warmup_step, warm, decay)
+
+    return schedule
+
+
+def constant_warmup(base_lr: float, warmup_step: int = 0, **_):
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / max(warmup_step, 1)
+        return jnp.where(step < warmup_step, warm, base_lr)
+
+    return schedule
+
+
+def constant(base_lr: float, **_):
+    return lambda step: jnp.full_like(jnp.asarray(step, jnp.float32), base_lr)
+
+
+SCHEDULE_REGISTRY: Dict[str, Callable] = {
+    "cosine_warmup_timm": timm_cosine,
+    "cosine_warmup": cosine_warmup,
+    "invsqrt": invsqrt,
+    "constant_warmup": constant_warmup,
+    "constant": constant,
+}
+
+
+# --------------------------------------------------------------------------
+# parameter labeling
+# --------------------------------------------------------------------------
+
+NO_DECAY_SUBSTRINGS = ("norm1", "norm2", "ln_f", "word_embeddings", "position_embeddings")
+
+
+def _label_for_path(path: tuple[str, ...]) -> str:
+    joined = "/".join(path)
+    leaf = path[-1]
+    if "filter_fn" in path:
+        if leaf == "pos_emb_z":
+            return "pos_emb"
+        if leaf == "deltas":
+            return "modulation"
+        if leaf in ("bias",) and path[-2] == "filter_fn":
+            # conv D-skip bias: plain param; bias => no decay
+            return "no_decay"
+        if leaf == "freq":
+            # Sin freq is a plain nn.Parameter in the reference (main group)
+            return "main"
+        return "filter"  # implicit-MLP kernels/biases
+    if leaf == "bias" or any(s in joined for s in NO_DECAY_SUBSTRINGS):
+        return "no_decay"
+    return "main"
+
+
+def label_params(params) -> Any:
+    """Build a pytree of group labels matching `params`' structure."""
+    flat = traverse_util.flatten_dict(params)
+    labels = {path: _label_for_path(path) for path in flat}
+    return traverse_util.unflatten_dict(labels)
+
+
+# --------------------------------------------------------------------------
+# optimizer builder
+# --------------------------------------------------------------------------
+
+
+def _adamw(lr_schedule, weight_decay, betas, eps):
+    return optax.adamw(
+        learning_rate=lr_schedule,
+        b1=betas[0],
+        b2=betas[1],
+        eps=eps,
+        weight_decay=weight_decay,
+    )
+
+
+def build_optimizer(
+    params,
+    lr: float = 6e-4,
+    weight_decay: float = 0.1,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    filter_lr: Optional[float] = 1e-3,
+    filter_wd: float = 0.0,
+    lr_pos_emb: float = 1e-5,
+    modulation_lr: float = 0.0,
+    scheduler: Optional[dict] = None,
+    gradient_clip_val: Optional[float] = 1.0,
+) -> tuple[optax.GradientTransformation, Any]:
+    """Returns (optimizer, label_tree).
+
+    `scheduler` is e.g. {"_name_": "cosine_warmup_timm", "t_initial": ...};
+    the schedule shape is shared across groups but anchored at each group's
+    own base lr, like timm scaling every param-group lr.
+    """
+    sched_cfg = dict(scheduler or {"_name_": "constant"})
+    sched_name = sched_cfg.pop("_name_", "constant")
+    sched_fn = SCHEDULE_REGISTRY[sched_name]
+
+    def make(base_lr, wd):
+        if base_lr == 0.0:
+            return optax.set_to_zero()  # frozen (reference requires_grad=False)
+        return _adamw(sched_fn(base_lr, **sched_cfg), wd, betas, eps)
+
+    transforms = {
+        "main": make(lr, weight_decay),
+        "no_decay": make(lr, 0.0),
+        "filter": make(lr if filter_lr is None else filter_lr, filter_wd),
+        "pos_emb": make(lr_pos_emb, 0.0),
+        "modulation": make(modulation_lr, 0.0),
+    }
+    labels = label_params(params)
+    tx = optax.multi_transform(transforms, labels)
+    if gradient_clip_val:
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+    return tx, labels

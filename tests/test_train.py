@@ -1,0 +1,238 @@
+"""Training-stack tests: metrics math, optimizer grouping, schedules,
+grad-accumulation equivalence, end-to-end loss descent, and a sharded
+multi-device train step on the virtual 8-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from hyena_dna_tpu.models import ConvLMHeadModel
+from hyena_dna_tpu.parallel import make_mesh, shard_params
+from hyena_dna_tpu.tasks import LMTask, HG38Task
+from hyena_dna_tpu.tasks import metrics as M
+from hyena_dna_tpu.train import build_optimizer, create_train_state, label_params
+from hyena_dna_tpu.train.optim import timm_cosine
+from hyena_dna_tpu.train.step import make_eval_step, make_train_step
+from hyena_dna_tpu.data.loader import shard_batch
+
+LAYER_CFG = dict(_name_="hyena", emb_dim=5, filter_order=16, l_max=66, w=10)
+
+
+def tiny_model(l_max=66):
+    cfg = dict(LAYER_CFG, l_max=l_max)
+    return ConvLMHeadModel(
+        d_model=16, n_layer=2, d_inner=64, vocab_size=12,
+        pad_vocab_size_multiple=8, layer=cfg, embed_dropout=0.1,
+    )
+
+
+def make_state(model, seed=0, lr=1e-3, accum_batch=None, **opt_kw):
+    rng = jax.random.PRNGKey(seed)
+    sample = jnp.zeros((1, 64), jnp.int32)
+    params = model.init(rng, sample)["params"]
+    tx, _ = build_optimizer(params, lr=lr, **opt_kw)
+    return create_train_state(model, tx, rng, sample, params=params)
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+
+
+def test_cross_entropy_matches_torch_semantics():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(4, 8, 12)).astype(np.float32)
+    y = rng.integers(0, 12, size=(4, 8))
+    y[0, :3] = -100  # ignore index
+    ours = float(M.cross_entropy(jnp.asarray(logits), jnp.asarray(y)))
+    theirs = float(
+        F.cross_entropy(
+            torch.tensor(logits).view(-1, 12), torch.tensor(y).view(-1), ignore_index=-100
+        )
+    )
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_cross_entropy_stats_consistent():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(2, 16, 12)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 12, size=(2, 16)))
+    nll, cnt = M.cross_entropy_stats(logits, y)
+    assert cnt == 32
+    assert abs(float(nll / cnt) - float(M.cross_entropy(logits, y))) < 1e-6
+
+
+def test_accuracy_and_topk():
+    logits = jnp.asarray([[3.0, 1.0, 0.0], [0.0, 2.0, 1.0]])
+    y = jnp.asarray([0, 2])
+    assert float(M.accuracy(logits, y)) == 0.5
+    assert float(M.accuracy_at_k(logits, y, k=2)) == 1.0
+
+
+def test_host_metrics_match_sklearn():
+    from sklearn.metrics import matthews_corrcoef
+
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(64, 2))
+    y = rng.integers(0, 2, size=64)
+    assert M.mcc(logits, y) == matthews_corrcoef(y, logits.argmax(-1))
+    assert 0 <= M.roc_auc_macro(logits, y) <= 1
+
+
+def test_last_k_ppl_and_per_token():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 12)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 12, size=(2, 8)))
+    full = M.last_k_ppl(logits.reshape(-1, 12), y.reshape(-1), seq_len=8, k=None)
+    assert float(full) > 0
+    per = M.per_token_ppl(logits.reshape(-1, 12), y.reshape(-1), seq_len=8, ks=[1, 8])
+    assert per.shape == (2,)
+
+
+# --------------------------------------------------------------------------
+# optimizer grouping / schedules
+# --------------------------------------------------------------------------
+
+
+def test_param_labels_cover_filter_groups():
+    model = tiny_model()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64), jnp.int32))["params"]
+    labels = traverse_util.flatten_dict(label_params(params))
+    values = set(labels.values())
+    assert {"main", "no_decay", "filter", "pos_emb", "modulation"} <= values
+    for path, lab in labels.items():
+        joined = "/".join(path)
+        if "filter_fn" in path and path[-1] == "pos_emb_z":
+            assert lab == "pos_emb", joined
+        if "filter_fn" in path and path[-1] == "deltas":
+            assert lab == "modulation", joined
+        if "filter_fn" in path and "mlp" in joined:
+            assert lab == "filter", joined
+        if path[-1] == "kernel" and "filter_fn" not in path:
+            assert lab == "main", joined
+
+
+def test_frozen_groups_get_zero_updates():
+    model = tiny_model()
+    state = make_state(model, lr_pos_emb=0.0, modulation_lr=0.0)
+    step = make_train_step(LMTask())
+    x = jnp.ones((2, 64), jnp.int32)
+    y = jnp.ones((2, 64), jnp.int32)
+    before = jax.tree_util.tree_map(np.array, state.params)
+    state2, _ = step(state, (x, y), jax.random.PRNGKey(1))
+    flat_b = traverse_util.flatten_dict(before)
+    flat_a = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, state2.params))
+    for path in flat_b:
+        if path[-1] in ("pos_emb_z", "deltas"):
+            np.testing.assert_array_equal(flat_b[path], flat_a[path])
+        if path[-1] == "kernel" and "backbone" in path:
+            assert not np.array_equal(flat_b[path], flat_a[path])
+
+
+def test_timm_cosine_schedule_shape():
+    s = timm_cosine(6e-4, t_initial=1000, lr_min=6e-5, warmup_t=100, warmup_lr_init=1e-6)
+    assert float(s(0)) == pytest.approx(1e-6)
+    assert float(s(100)) == pytest.approx(6e-4, rel=1e-3)
+    assert float(s(1000)) == pytest.approx(6e-5, rel=1e-3)
+    assert float(s(50)) < 6e-4
+
+
+# --------------------------------------------------------------------------
+# train step
+# --------------------------------------------------------------------------
+
+
+def _rand_batch(rng, b=4, l=64):
+    x = jnp.asarray(rng.integers(7, 11, size=(b, l)), jnp.int32)
+    return x, jnp.roll(x, -1, axis=1)
+
+
+def test_loss_decreases():
+    model = tiny_model()
+    state = make_state(model, lr=3e-3)
+    step = make_train_step(LMTask())
+    rng = np.random.default_rng(0)
+    # learnable structure: repeated ACGT pattern
+    base = jnp.asarray((np.arange(65) % 4) + 7, jnp.int32)
+    x = jnp.tile(base[:64], (8, 1))
+    y = jnp.tile(base[1:65], (8, 1))
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, (x, y), sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_grad_accum_equivalence():
+    model = tiny_model()
+    s1 = make_state(model, seed=3)
+    s2 = make_state(model, seed=3)
+    rng = np.random.default_rng(5)
+    x, y = _rand_batch(rng, b=8)
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_train_step(LMTask(), accumulate_grad_batches=1)
+    # dropout rngs differ between the two paths; use deterministic-friendly
+    # comparison by zeroing dropout via a model without dropout
+    model_nd = ConvLMHeadModel(
+        d_model=16, n_layer=2, d_inner=64, vocab_size=12,
+        pad_vocab_size_multiple=8, layer=dict(LAYER_CFG), embed_dropout=0.0,
+    )
+    s1 = make_state(model_nd, seed=3)
+    s2 = make_state(model_nd, seed=3)
+    step1 = make_train_step(LMTask(), accumulate_grad_batches=1)
+    step4 = make_train_step(LMTask(), accumulate_grad_batches=4)
+    out1, m1 = step1(s1, (x, y), key)
+    out4, m4 = step4(s2, (x, y), key)
+    assert abs(float(m1["loss"]) - float(m4["loss"])) < 1e-5
+    flat1 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, out1.params))
+    flat4 = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, out4.params))
+    for path in flat1:
+        np.testing.assert_allclose(flat1[path], flat4[path], atol=2e-5, err_msg=str(path))
+
+
+def test_eval_step_metrics():
+    model = tiny_model()
+    state = make_state(model)
+    task = HG38Task(metrics=["accuracy"], last_k_ppl=8, seq_len=64)
+    estep = make_eval_step(task)
+    rng = np.random.default_rng(11)
+    m = estep(state, _rand_batch(rng))
+    assert set(m) >= {"loss", "accuracy", "last_k_ppl", "nll_sum", "token_count"}
+    assert np.isfinite(float(m["loss"]))
+
+
+# --------------------------------------------------------------------------
+# sharded multi-device step
+# --------------------------------------------------------------------------
+
+
+def test_sharded_train_step_8dev():
+    assert jax.device_count() == 8
+    mesh = make_mesh(data=2, seq=1, model=4)
+    model = tiny_model()
+    state = make_state(model)
+    state = state.replace(
+        params=shard_params(state.params, mesh),
+        opt_state=state.tx.init(shard_params(state.params, mesh)),
+    )
+    step = make_train_step(LMTask())
+    rng = np.random.default_rng(13)
+    x = np.asarray(rng.integers(7, 11, size=(4, 64)), np.int32)
+    y = np.roll(x, -1, axis=1)
+    batch = shard_batch((x, y), mesh)
+    state2, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # compare against a replicated single-step run
+    state_r = make_state(model)
+    step_r = make_train_step(LMTask())
+    _, metrics_r = step_r(state_r, (jnp.asarray(x), jnp.asarray(y)), jax.random.PRNGKey(0))
+    assert abs(float(metrics["loss"]) - float(metrics_r["loss"])) < 1e-4
