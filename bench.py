@@ -1,0 +1,91 @@
+"""Throughput benchmark: tokens/sec/chip for a HyenaDNA training step.
+
+Runs on whatever single accelerator is available (real TPU chip under the
+driver; CPU locally) and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
+
+Model: hyenadna-small-32k shape scaled to the benchmark sequence length —
+d_model=256, 8 layers (reference `configs/evals/hyena_dna_512ksl.yaml:4-7`),
+bf16 activations, full train step (fwd+bwd+AdamW update), which is the
+reference's headline workload (hg38 pretraining, `README.md:205`).
+
+`vs_baseline` compares against the A100-80GB reference estimate recorded in
+BASELINE_NUMBERS below (tokens/s for the same shape on the reference CUDA
+stack); update as real measurements land in BENCH_r*.json.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference-stack throughput anchor (tokens/s on one A100-80GB, torch+fftconv
+# CUDA path, same model shape). Until the reference is profiled on identical
+# hardware this is the paper-era estimate; vs_baseline is measured/anchor.
+BASELINE_NUMBERS = {
+    "small-32k-trainstep": 160_000.0,
+}
+
+
+def main():
+    seq_len = 32768
+    d_model = 256
+    n_layer = 8
+    batch = 1
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # local smoke run: shrink so the bench finishes quickly
+        seq_len, d_model, n_layer = 4096, 128, 2
+
+    from hyena_dna_tpu.models import ConvLMHeadModel
+    from hyena_dna_tpu.tasks import LMTask
+    from hyena_dna_tpu.train import build_optimizer, create_train_state
+    from hyena_dna_tpu.train.step import make_train_step
+
+    layer = dict(
+        _name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
+        l_max=seq_len + 2, modulate=True, w=10, lr=6e-4, wd=0.0, lr_pos_emb=0.0,
+    )
+    model = ConvLMHeadModel(
+        d_model=d_model, n_layer=n_layer, d_inner=4 * d_model, vocab_size=12,
+        pad_vocab_size_multiple=8, residual_in_fp32=True, layer=layer,
+        dtype=jnp.bfloat16,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, seq_len), jnp.int32)
+    params = model.init(rng, sample)["params"]
+    tx, _ = build_optimizer(params, lr=6e-4, weight_decay=0.1)
+    state = create_train_state(model, tx, rng, sample, params=params)
+
+    x = jnp.asarray(np.tile((np.arange(seq_len) % 4 + 7).astype(np.int32), (batch, 1)))
+    y = jnp.roll(x, -1, axis=1)
+    step = make_train_step(LMTask())
+
+    # warmup/compile
+    state, m = step(state, (x, y), jax.random.PRNGKey(1))
+    jax.block_until_ready(m["loss"])
+
+    iters = 20 if backend != "cpu" else 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, (x, y), jax.random.PRNGKey(i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    tokens_per_sec = batch * seq_len * iters / dt
+    baseline = BASELINE_NUMBERS["small-32k-trainstep"]
+    result = {
+        "metric": f"hg38_trainstep_tokens_per_sec_chip_L{seq_len}_d{d_model}x{n_layer}",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_sec / baseline, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

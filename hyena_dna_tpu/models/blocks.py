@@ -45,6 +45,7 @@ def make_mixer(
     n_layer: int,
     dtype: Any,
     name: str = "mixer",
+    mesh: Any = None,
 ) -> fnn.Module:
     """Mixer factory mirroring `create_mixer_cls`
     (`/root/reference/src/models/sequence/long_conv_lm.py:48-99`): attention at
@@ -87,6 +88,7 @@ def make_mixer(
         dtype=dtype,
         filter_cfg=filter_cfg,
         name=name,
+        mesh=mesh,
         **cfg,
     )
 
@@ -140,6 +142,7 @@ class Block(fnn.Module):
     layer_norm_epsilon: float = 1e-5
     n_layer: int = 1
     dtype: Any = jnp.float32
+    mesh: Any = None
 
     @fnn.compact
     def __call__(
@@ -166,6 +169,7 @@ class Block(fnn.Module):
             self.is_attn,
             self.n_layer,
             self.dtype,
+            mesh=self.mesh,
         )
         out = mixer(hidden_states, deterministic)
         hidden_states = out[0] if isinstance(out, tuple) else out

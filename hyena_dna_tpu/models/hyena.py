@@ -32,6 +32,7 @@ from flax import linen as fnn
 from hyena_dna_tpu.models.filters import HyenaFilter
 from hyena_dna_tpu.models.nn import activation_fn
 from hyena_dna_tpu.ops import short_conv_1d
+from hyena_dna_tpu.ops.distributed import seq_fftconv, seq_short_conv
 
 
 class HyenaOperator(fnn.Module):
@@ -53,6 +54,10 @@ class HyenaOperator(fnn.Module):
     n_layer: int = 1  # for GPT-2 1/sqrt(2N) out_proj rescale
     init_std: float = 0.02
     dtype: Any = jnp.float32
+    # sequence parallelism: when a mesh with a >1 "seq" axis is given, the
+    # conv chain runs sequence-sharded (channel-pencil FFT + halo short conv)
+    mesh: Any = None
+    seq_axis: str = "seq"
 
     @property
     def head_dim(self) -> int:
@@ -127,8 +132,27 @@ class HyenaOperator(fnn.Module):
         l = u.shape[-2]
         l_filter = min(l, self.l_max)
 
+        seq_parallel = (
+            self.mesh is not None and self.mesh.shape.get(self.seq_axis, 1) > 1
+        )
+
         u = self.in_proj(u)  # (B, L, (o+1)d)
         u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
+
+        if seq_parallel:
+            assert self.num_heads == 1 and self.num_blocks == 1, (
+                "sequence-parallel Hyena supports heads=1, blocks=1 (the DNA configs)"
+            )
+            assert not self.outer_mixing and not self.post_order_ffn
+            assert l == l_filter, "seq-parallel path requires l == l_filter"
+            uc = seq_short_conv(
+                u,
+                self.short_filter_weight.astype(u.dtype),
+                self.short_filter_bias.astype(u.dtype),
+                self.mesh,
+                seq_axis=self.seq_axis,
+            )
+            return self._seq_parallel_tail(uc, l_filter, deterministic)
 
         uc = short_conv_1d(
             u,
@@ -177,6 +201,39 @@ class HyenaOperator(fnn.Module):
         y = self.act(y)
         y = self.out_proj(y)
 
+        if self.return_state:
+            return y, None
+        return y
+
+    def _seq_parallel_tail(self, uc: jax.Array, l_filter: int, deterministic: bool):
+        """Gating + long-conv recurrence on (B, C, L) with L sequence-sharded.
+
+        Math identical to the single-device path specialized to heads=1,
+        blocks=1; the long conv goes through the channel-pencil fftconv."""
+        d = self.d_model * self.inner_factor
+        o = self.order
+        splits = jnp.split(uc, o + 1, axis=1)  # (o+1) x (B, d, L)
+        *x, v = splits
+
+        k = self.filter_fn.filter(l_filter)  # (1, L, (o-1)*d)
+        k = k[0].reshape(l_filter, d, o - 1)
+        k = jnp.transpose(k, (2, 1, 0))  # (o-1, d, L)
+        bias = self.filter_fn.bias.reshape(d, o - 1).T  # (o-1, d)
+
+        for i, x_i in enumerate(reversed(x[1:])):
+            v = self.drop(v * x_i, deterministic=deterministic)
+            v = seq_fftconv(
+                v,
+                k[i].astype(jnp.float32),
+                bias[i].astype(jnp.float32),
+                self.mesh,
+                seq_axis=self.seq_axis,
+            ).astype(v.dtype)
+
+        y = v * x[0]
+        y = jnp.swapaxes(y, -1, -2)  # (B, L, d)
+        y = self.act(y)
+        y = self.out_proj(y)
         if self.return_state:
             return y, None
         return y

@@ -58,6 +58,7 @@ class LMBackbone(fnn.Module):
     checkpoint_mlp: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
+    mesh: Any = None
 
     def setup(self):
         self.embeddings = GPT2Embeddings(
@@ -92,6 +93,7 @@ class LMBackbone(fnn.Module):
                 layer_norm_epsilon=self.layer_norm_epsilon,
                 n_layer=self.n_layer,
                 dtype=self.dtype,
+                mesh=self.mesh,
                 name=f"layers_{i}",
             )
             for i in range(self.n_layer)
@@ -137,6 +139,7 @@ class ConvLMHeadModel(fnn.Module):
     checkpoint_mlp: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
+    mesh: Any = None
 
     def setup(self):
         self.backbone = LMBackbone(
@@ -157,6 +160,7 @@ class ConvLMHeadModel(fnn.Module):
             checkpoint_mlp=self.checkpoint_mlp,
             init_std=self.init_std,
             dtype=self.dtype,
+            mesh=self.mesh,
             name="backbone",
         )
 
@@ -198,6 +202,7 @@ class DNAEmbeddingModel(fnn.Module):
     return_hidden_state: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
+    mesh: Any = None
 
     def setup(self):
         self.backbone = LMBackbone(
@@ -218,6 +223,7 @@ class DNAEmbeddingModel(fnn.Module):
             checkpoint_mlp=self.checkpoint_mlp,
             init_std=self.init_std,
             dtype=self.dtype,
+            mesh=self.mesh,
             name="backbone",
         )
 

@@ -46,8 +46,9 @@ def make_mesh(
     if data == -1:
         assert n % (seq * model) == 0, f"{n} devices not divisible by seq*model"
         data = n // (seq * model)
-    assert data * seq * model == n, f"mesh {data}x{seq}x{model} != {n} devices"
-    arr = np.array(devices).reshape(data, seq, model)
+    want = data * seq * model
+    assert want <= n, f"mesh {data}x{seq}x{model} needs {want} devices, have {n}"
+    arr = np.array(devices[:want]).reshape(data, seq, model)
     return Mesh(arr, axis_names=("data", "seq", "model"))
 
 
@@ -100,6 +101,28 @@ def shard_params(params, mesh: Mesh):
         sharding = NamedSharding(mesh, spec if ok else P())
         out[path] = jax.device_put(value, sharding)
     return traverse_util.unflatten_dict(out)
+
+
+def commit_state_to_mesh(state, mesh: Mesh):
+    """Ensure every TrainState leaf is committed to the mesh's devices.
+
+    Param-shaped optimizer moments created by `tx.init(sharded_params)`
+    already inherit the param shardings (zeros_like preserves sharding);
+    what's left are scalars (step, Adam counts) that would otherwise sit
+    uncommitted on the default device — after a checkpoint restore those
+    come back committed to ONE device and jit rejects the mixed device set.
+    """
+    mesh_devices = set(mesh.devices.flat)
+    replicated = NamedSharding(mesh, P())
+
+    def put(leaf):
+        if not isinstance(leaf, jax.Array):
+            return leaf
+        if set(leaf.sharding.device_set) == mesh_devices:
+            return leaf
+        return jax.device_put(leaf, replicated)
+
+    return jax.tree_util.tree_map(put, state)
 
 
 def batch_spec(seq_sharded: bool = False) -> P:

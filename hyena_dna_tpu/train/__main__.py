@@ -1,0 +1,49 @@
+"""CLI entry: `python -m hyena_dna_tpu.train experiment=hg38/hg38_hyena k=v ...`
+
+Mirrors the reference's `python -m train experiment=... key=val` Hydra entry
+(`/root/reference/train.py:679-691`) on the dependency-free config system:
+`configs/config.yaml` is the base, an `experiment=` override composes an
+experiment file onto it, remaining args are dot-overrides.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hyena_dna_tpu.train.trainer import Trainer
+from hyena_dna_tpu.utils.config import (
+    apply_overrides,
+    deep_merge,
+    load_config,
+    resolve_interpolations,
+)
+
+CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
+
+
+def build_config(argv):
+    overrides = []
+    experiment = None
+    for arg in argv:
+        if arg.startswith("experiment="):
+            experiment = arg.split("=", 1)[1]
+        else:
+            overrides.append(arg)
+    cfg = load_config(CONFIG_DIR / "config.yaml", CONFIG_DIR)
+    if experiment:
+        exp = load_config(CONFIG_DIR / "experiment" / f"{experiment}.yaml", CONFIG_DIR)
+        cfg = deep_merge(cfg, exp)
+    cfg = apply_overrides(cfg, overrides)
+    cfg = resolve_interpolations(cfg)
+    return cfg
+
+
+def main(argv=None):
+    cfg = build_config(argv if argv is not None else sys.argv[1:])
+    trainer = Trainer(cfg)
+    return trainer.fit()
+
+
+if __name__ == "__main__":
+    main()

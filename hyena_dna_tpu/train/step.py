@@ -40,12 +40,13 @@ def make_train_step(
     model_kwargs = dict(model_kwargs or {})
     accum = accumulate_grad_batches
 
-    def loss_fn(params, apply_fn, x, y, rng):
+    def loss_fn(params, apply_fn, x, y, rng, extra):
         out = apply_fn(
             {"params": params},
             x,
             deterministic=False,
             rngs={"dropout": rng},
+            **extra,
             **model_kwargs,
         )
         logits = out[0] if isinstance(out, tuple) else out
@@ -56,21 +57,25 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         x, y = batch[0], batch[1]
+        extra = batch[2] if len(batch) > 2 else {}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         if accum == 1:
-            (loss, stats), grads = grad_fn(state.params, state.apply_fn, x, y, rng)
+            (loss, stats), grads = grad_fn(state.params, state.apply_fn, x, y, rng, extra)
         else:
             b = x.shape[0]
             micro = b // accum
             xs = x.reshape(accum, micro, *x.shape[1:])
             ys = y.reshape(accum, micro, *y.shape[1:])
+            extras = jax.tree_util.tree_map(
+                lambda e: e.reshape(accum, micro, *e.shape[1:]), extra
+            )
             rngs = jax.random.split(rng, accum)
 
             def body(carry, inp):
                 grads_acc, loss_acc, stats_acc = carry
-                xm, ym, r = inp
-                (loss, stats), grads = grad_fn(state.params, state.apply_fn, xm, ym, r)
+                xm, ym, r, em = inp
+                (loss, stats), grads = grad_fn(state.params, state.apply_fn, xm, ym, r, em)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 stats_acc = (
                     jax.tree_util.tree_map(jnp.add, stats_acc, stats)
@@ -84,7 +89,10 @@ def make_train_step(
             )
             # probe the aux structure at trace time (no compute)
             aux_shape = jax.eval_shape(
-                lambda p: loss_fn(p, state.apply_fn, xs[0], ys[0], rngs[0]),
+                lambda p: loss_fn(
+                    p, state.apply_fn, xs[0], ys[0], rngs[0],
+                    jax.tree_util.tree_map(lambda e: e[0], extras),
+                ),
                 state.params,
             )[1]
             zero_stats = (
@@ -93,7 +101,7 @@ def make_train_step(
                 else None
             )
             (grads, loss_sum, stats), _ = jax.lax.scan(
-                body, (zero_grads, jnp.zeros(()), zero_stats), (xs, ys, rngs)
+                body, (zero_grads, jnp.zeros(()), zero_stats), (xs, ys, rngs, extras)
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
             loss = loss_sum / accum
@@ -124,7 +132,10 @@ def make_eval_step(
     @jax.jit
     def eval_step(state, batch):
         x, y = batch[0], batch[1]
-        out = state.apply_fn({"params": state.params}, x, deterministic=True, **model_kwargs)
+        extra = batch[2] if len(batch) > 2 else {}
+        out = state.apply_fn(
+            {"params": state.params}, x, deterministic=True, **extra, **model_kwargs
+        )
         logits = out[0] if isinstance(out, tuple) else out
         metrics = {"loss": task.compute_loss(logits, y, train=False)}
         metrics.update(task.compute_metrics(logits, y))

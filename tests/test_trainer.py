@@ -1,0 +1,210 @@
+"""End-to-end Trainer tests on synthetic data: config composition, hg38 LM
+pretraining loop, classification fine-tune with decoder head, checkpoint
+save/restore + backbone loading."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hyena_dna_tpu.train.__main__ import build_config
+from hyena_dna_tpu.train.trainer import Trainer
+from hyena_dna_tpu.utils.config import (
+    apply_overrides,
+    deep_merge,
+    load_config,
+    resolve_interpolations,
+)
+
+
+# --------------------------------------------------------------------------
+# config system
+# --------------------------------------------------------------------------
+
+
+def test_config_interpolation_and_overrides():
+    cfg = {
+        "model": {"d_model": 128, "d_inner": "${eval:4 * 128}",
+                  "layer": {"l_max": "${eval:${dataset.max_length} + 2}",
+                            "lr": "${optimizer.lr}"}},
+        "dataset": {"max_length": 1024},
+        "optimizer": {"lr": 6e-4},
+        "accum": "${div_up:256,32}",
+    }
+    cfg = resolve_interpolations(cfg)
+    assert cfg["model"]["d_inner"] == 512
+    assert cfg["model"]["layer"]["l_max"] == 1026
+    assert cfg["model"]["layer"]["lr"] == 6e-4
+    assert cfg["accum"] == 8
+
+    cfg = apply_overrides(cfg, ["optimizer.lr=1e-3", "model.n_layer=4", "dataset.new=true"])
+    assert cfg["optimizer"]["lr"] == 1e-3
+    assert cfg["model"]["n_layer"] == 4
+    assert cfg["dataset"]["new"] is True
+
+
+def test_experiment_config_composes():
+    cfg = build_config(["experiment=hg38/hg38_hyena", "dataset.max_length=512",
+                        "trainer.max_epochs=1"])
+    assert cfg["model"]["_name_"] == "lm"
+    assert cfg["model"]["layer"]["l_max"] == 514
+    assert cfg["model"]["layer"]["lr"] == 6e-4
+    assert cfg["callbacks"]["model_checkpoint"]["monitor"] == "val/loss"
+    assert cfg["scheduler"]["lr_min"] == pytest.approx(6e-5)
+
+
+def test_unsafe_eval_rejected():
+    with pytest.raises(ValueError):
+        resolve_interpolations({"x": "${eval:__import__('os').system('true')}"})
+
+
+# --------------------------------------------------------------------------
+# end-to-end LM training
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture
+def tiny_genome(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=4096))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i : i + 60] + "\n")
+    bed = tmp_path / "g.bed"
+    with open(bed, "w") as f:
+        for i in range(32):
+            f.write(f"chr1\t{i * 128}\t{i * 128 + 64}\ttrain\n")
+        for i in range(4):
+            f.write(f"chr1\t{i * 64}\t{i * 64 + 64}\tvalid\n")
+        for i in range(4):
+            f.write(f"chr1\t{2048 + i * 64}\t{2048 + i * 64 + 64}\ttest\n")
+    return fa, bed
+
+
+def _lm_config(tmp_path, fa, bed, **extra_train):
+    return {
+        "train": {"seed": 1, "run_dir": str(tmp_path / "run"), **extra_train},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 2, "precision": "32", "gradient_clip_val": 1.0,
+                    "log_every_n_steps": 4},
+        "dataset": {"_name_": "hg38", "bed_file": str(bed), "fasta_file": str(fa),
+                    "batch_size": 4, "max_length": 64, "add_eos": True},
+        "task": {"_name_": "hg38", "loss": "cross_entropy"},
+        "model": {"_name_": "lm", "d_model": 32, "n_layer": 2, "d_inner": 128,
+                  "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 66, "w": 10, "lr": 6e-4, "wd": 0.0,
+                            "lr_pos_emb": 0.0}},
+        "optimizer": {"lr": 3e-3, "weight_decay": 0.1},
+        "scheduler": {"_name_": "cosine_warmup_timm", "t_initial": 64,
+                      "warmup_t": 4, "lr_min": 3e-4, "warmup_lr_init": 1e-6},
+        "callbacks": {"timer": {}, "params": {},
+                      "model_checkpoint": {"monitor": "val/loss", "mode": "min"}},
+    }
+
+
+def test_lm_end_to_end(tmp_path, tiny_genome):
+    fa, bed = tiny_genome
+    cfg = _lm_config(tmp_path, fa, bed)
+    trainer = Trainer(cfg)
+    final = trainer.fit()
+    assert "test/ppl" in final and np.isfinite(final["test/ppl"])
+    # metrics stream exists and contains params + val entries
+    lines = [json.loads(l) for l in open(Path(cfg["train"]["run_dir"]) / "metrics.jsonl")]
+    keys = set().union(*(l.keys() for l in lines))
+    assert "params/total" in keys and "val/ppl" in keys
+    # checkpoints written
+    assert (Path(cfg["train"]["run_dir"]) / "checkpoints" / "last").exists()
+
+
+def test_resume_from_checkpoint(tmp_path, tiny_genome):
+    fa, bed = tiny_genome
+    cfg = _lm_config(tmp_path, fa, bed)
+    t1 = Trainer(cfg)
+    t1.fit()
+    step_after = int(t1.global_step)
+
+    cfg2 = _lm_config(tmp_path, fa, bed,
+                      ckpt=str(Path(cfg["train"]["run_dir"]) / "checkpoints" / "last"))
+    cfg2["trainer"]["max_epochs"] = 3
+    t2 = Trainer(cfg2)
+    t2.fit()
+    assert int(t2.state.step) > step_after
+
+
+# --------------------------------------------------------------------------
+# classification fine-tune
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture
+def tiny_benchmark(tmp_path):
+    rng = np.random.default_rng(1)
+    root = tmp_path / "bench" / "toy_task"
+    for split in ("train", "test"):
+        for label, motif in (("pos", "ACGTACGT"), ("neg", "TTTTCCCC")):
+            d = root / split / label
+            d.mkdir(parents=True)
+            n = 32 if split == "train" else 8
+            for i in range(n):
+                pad = "".join(rng.choice(list("ACGT"), size=24))
+                (d / f"{i}.txt").write_text(motif + pad)
+    return tmp_path / "bench"
+
+
+def test_classification_end_to_end(tmp_path, tiny_benchmark):
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "cls_run")},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 4, "precision": "32", "log_every_n_steps": 8},
+        "dataset": {"_name_": "genomic_benchmark", "dataset_name": "toy_task",
+                    "dest_path": str(tiny_benchmark), "d_output": 2,
+                    "batch_size": 8, "max_length": 32, "use_padding": True},
+        "task": {"_name_": "multiclass", "loss": "cross_entropy",
+                 "metrics": ["accuracy"], "host_metrics": ["mcc", "f1_macro"]},
+        "model": {"_name_": "dna_embedding", "d_model": 32, "n_layer": 2,
+                  "d_inner": 128, "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 34, "w": 10}},
+        "decoder": {"_name_": "sequence", "mode": "pool", "l_output": 0},
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.0},
+        "callbacks": {},
+    }
+    trainer = Trainer(cfg)
+    final = trainer.fit()
+    assert final["test/accuracy"] > 0.9  # trivially separable motifs
+    assert "test/mcc" in final and "test/f1_macro" in final
+
+
+def test_load_backbone_finetune(tmp_path, tiny_genome, tiny_benchmark):
+    fa, bed = tiny_genome
+    lm_cfg = _lm_config(tmp_path, fa, bed)
+    lm_cfg["trainer"]["max_epochs"] = 1
+    t1 = Trainer(lm_cfg)
+    t1.fit()
+    ckpt = str(Path(lm_cfg["train"]["run_dir"]) / "checkpoints" / "last")
+
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "ft_run"),
+                  "pretrained_model_path": ckpt,
+                  "pretrained_model_state_hook": {"_name_": "load_backbone"}},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 1, "precision": "32"},
+        "dataset": {"_name_": "genomic_benchmark", "dataset_name": "toy_task",
+                    "dest_path": str(tiny_benchmark), "d_output": 2,
+                    "batch_size": 8, "max_length": 32},
+        "task": {"_name_": "multiclass", "loss": "cross_entropy", "metrics": ["accuracy"]},
+        "model": {"_name_": "dna_embedding", "d_model": 32, "n_layer": 2,
+                  "d_inner": 128, "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 66, "w": 10}},
+        "decoder": {"_name_": "sequence", "mode": "pool", "l_output": 0},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {},
+    }
+    t2 = Trainer(cfg)
+    final = t2.fit()
+    assert "test/accuracy" in final
