@@ -59,6 +59,10 @@ def seq_fftconv(
     c = u.shape[1]
     assert c % s == 0, f"channels {c} not divisible by seq shards {s}"
 
+    # drop the data axis from the spec when the batch doesn't divide it
+    # (e.g. the batch-1 tracer used at parameter init)
+    if data_axis is not None and u.shape[0] % mesh.shape[data_axis] != 0:
+        data_axis = None
     uspec = P(data_axis, None, seq_axis)
 
     @partial(
@@ -99,6 +103,8 @@ def seq_short_conv(
 
         return short_conv_1d(x, w, b)
     khalo = w.shape[-1] - 1
+    if data_axis is not None and x.shape[0] % mesh.shape[data_axis] != 0:
+        data_axis = None
     xspec = P(data_axis, None, seq_axis)
 
     @partial(
