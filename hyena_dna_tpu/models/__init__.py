@@ -5,6 +5,13 @@ from hyena_dna_tpu.models.filters import HyenaFilter
 from hyena_dna_tpu.models.heads import NDDecoder, SequenceDecoder, TokenDecoder
 from hyena_dna_tpu.models.hyena import HyenaOperator
 from hyena_dna_tpu.models.lm import ConvLMHeadModel, DNAEmbeddingModel, LMBackbone
+from hyena_dna_tpu.models.long_conv import LongConv, LongConvKernel
+from hyena_dna_tpu.models.sequence_model import (
+    FF,
+    SequenceIdentity,
+    SequenceModel,
+    SequenceResidualBlock,
+)
 
 __all__ = [
     "MHA",
@@ -16,6 +23,12 @@ __all__ = [
     "ConvLMHeadModel",
     "DNAEmbeddingModel",
     "LMBackbone",
+    "LongConv",
+    "LongConvKernel",
+    "FF",
+    "SequenceIdentity",
+    "SequenceModel",
+    "SequenceResidualBlock",
     "SequenceDecoder",
     "TokenDecoder",
     "NDDecoder",
