@@ -265,3 +265,208 @@ class NucleotideTransformerDataModule(GenomicBenchmarkDataModule):
         self.dataset_train = make("train", self.max_length, self.rc_aug)
         self.dataset_val = make("val", self.max_length_val, False)
         self.dataset_test = self.dataset_val
+
+
+class ChromatinProfileDataModule(SequenceDataModule):
+    """DeepSEA-style 919-way multilabel (`genomics.py:390-461`)."""
+
+    _name_ = "chromatin_profile"
+    l_output = 0
+
+    def __init__(
+        self,
+        ref_genome_path: Optional[str] = None,
+        ref_genome_version: str = "hg38",
+        data_path: Optional[str] = None,
+        d_output: int = 919,
+        max_length: int = 1000,
+        use_padding: bool = True,
+        add_eos: bool = False,
+        batch_size: int = 32,
+        batch_size_eval: Optional[int] = None,
+        num_workers: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        **kwargs: Any,
+    ):
+        self.ref_genome_path = ref_genome_path
+        self.ref_genome_version = ref_genome_version
+        self.data_path = data_path or str(default_data_path / self._name_)
+        self.d_output = d_output
+        self.max_length = max_length
+        self.use_padding = use_padding
+        self.add_eos = add_eos
+        self.batch_size = batch_size
+        self.batch_size_eval = batch_size_eval
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def setup(self):
+        from hyena_dna_tpu.data.chromatin_profile import ChromatinProfileDataset
+
+        self.tokenizer = CharacterTokenizer(model_max_length=self.max_length + 2)
+        self.vocab_size = self.tokenizer.vocab_size
+
+        def make(split):
+            return ChromatinProfileDataset(
+                max_length=self.max_length,
+                ref_genome_path=self.ref_genome_path,
+                ref_genome_version=self.ref_genome_version,
+                coords_target_path=f"{self.data_path}/{split}_{self.ref_genome_version}_coords_targets.csv",
+                tokenizer=self.tokenizer,
+                use_padding=self.use_padding,
+                add_eos=self.add_eos,
+            )
+
+        self.dataset_train = make("train")
+        self.dataset_val = make("val")
+        self.dataset_test = make("test")
+
+
+class SpeciesDataModule(SequenceDataModule):
+    """Species classification / multi-genome pretraining (`genomics.py:464-569`)."""
+
+    _name_ = "species"
+    l_output = 0
+
+    def __init__(
+        self,
+        species: list = None,
+        species_dir: str = None,
+        max_length: int = 1024,
+        total_size: int = 10000,
+        pad_max_length: Optional[int] = None,
+        add_eos: bool = False,
+        rc_aug: bool = False,
+        chromosome_weights: str = "uniform",
+        species_weights: str = "uniform",
+        task: str = "species_classification",
+        remove_tail_ends: bool = False,
+        cutoff_train: float = 0.1,
+        cutoff_test: float = 0.2,
+        batch_size: int = 32,
+        batch_size_eval: Optional[int] = None,
+        num_workers: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        total_size_val: Optional[int] = None,
+        **kwargs: Any,
+    ):
+        self.species = species or []
+        self.species_dir = species_dir or str(default_data_path / self._name_)
+        self.max_length = max_length
+        self.total_size = total_size
+        self.total_size_val = total_size_val or max(1, total_size // 10)
+        self.pad_max_length = pad_max_length
+        self.add_eos = add_eos
+        self.rc_aug = rc_aug
+        self.chromosome_weights = chromosome_weights
+        self.species_weights = species_weights
+        self.task = task
+        self.remove_tail_ends = remove_tail_ends
+        self.cutoff_train = cutoff_train
+        self.cutoff_test = cutoff_test
+        self.batch_size = batch_size
+        self.batch_size_eval = batch_size_eval
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+        self.d_output = len(self.species)
+
+    def setup(self):
+        from hyena_dna_tpu.data.species import SpeciesDataset
+
+        self.tokenizer = CharacterTokenizer(model_max_length=self.max_length + 2)
+        self.vocab_size = self.tokenizer.vocab_size
+
+        def make(split, n):
+            return SpeciesDataset(
+                species=self.species,
+                species_dir=self.species_dir,
+                split=split,
+                max_length=self.max_length,
+                total_size=n,
+                pad_max_length=self.pad_max_length,
+                tokenizer=self.tokenizer,
+                add_eos=self.add_eos,
+                rc_aug=self.rc_aug if split == "train" else False,
+                chromosome_weights=self.chromosome_weights,
+                species_weights=self.species_weights,
+                task=self.task,
+                remove_tail_ends=self.remove_tail_ends,
+                cutoff_train=self.cutoff_train,
+                cutoff_test=self.cutoff_test,
+            )
+
+        self.dataset_train = make("train", self.total_size)
+        self.dataset_val = make("valid", self.total_size_val)
+        self.dataset_test = make("test", self.total_size_val)
+
+
+class ICLGenomicsDataModule(SequenceDataModule):
+    """k-shot in-context-learning prompts (`genomics.py:572-657`)."""
+
+    _name_ = "icl_genomics"
+    l_output = 0
+
+    def __init__(
+        self,
+        dataset_name: str = "human_nontata_promoters",
+        dest_path: Optional[str] = None,
+        shots: int = 0,
+        max_length: int = 1024,
+        d_output: int = 2,
+        use_padding: bool = True,
+        add_eos: bool = True,
+        eos_token: Optional[str] = None,
+        label_to_token: Optional[dict] = None,
+        rc_aug: bool = False,
+        batch_size: int = 32,
+        batch_size_eval: Optional[int] = None,
+        num_workers: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        **kwargs: Any,
+    ):
+        self.dataset_name = dataset_name
+        self.dest_path = dest_path or str(default_data_path / "genomic_benchmark")
+        self.shots = shots
+        self.max_length = max_length
+        self.d_output = d_output
+        self.use_padding = use_padding
+        self.add_eos = add_eos
+        self.eos_token = eos_token
+        self.label_to_token = label_to_token
+        self.rc_aug = rc_aug
+        self.batch_size = batch_size
+        self.batch_size_eval = batch_size_eval
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def setup(self):
+        from hyena_dna_tpu.data.icl import ICLGenomicsDataset
+
+        self.tokenizer = CharacterTokenizer(model_max_length=self.max_length)
+        self.vocab_size = self.tokenizer.vocab_size
+
+        def make(split, rc):
+            return ICLGenomicsDataset(
+                split=split,
+                shots=self.shots,
+                max_length=self.max_length,
+                dataset_name=self.dataset_name,
+                d_output=self.d_output,
+                dest_path=self.dest_path,
+                tokenizer=self.tokenizer,
+                use_padding=self.use_padding,
+                add_eos=self.add_eos,
+                eos_token=self.eos_token,
+                label_to_token=self.label_to_token,
+                rc_aug=rc,
+            )
+
+        self.dataset_train = make("train", self.rc_aug)
+        self.dataset_val = make("val", False)
+        self.dataset_test = self.dataset_val
