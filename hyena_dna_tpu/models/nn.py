@@ -79,3 +79,47 @@ def stochastic_depth(
         shape = (1,) * x.ndim
     mask = jax.random.bernoulli(rng, survival, shape)
     return jnp.where(mask, x / survival, jnp.zeros_like(x))
+
+
+class Gate(fnn.Module):
+    """Gating mechanisms from the LSSL/UR-LSTM line
+    (`/root/reference/src/models/nn/gate.py:6-99`): N (none), G (sigmoid),
+    UR (uniform refine), R (refine), and the discretization variants that
+    reduce to exp/relu/sigmoid activations of a learned preactivation.
+    The preactivation here is a Dense layer over the input."""
+
+    size: int
+    mechanism: str = "N"
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        m = self.mechanism
+        if m == "N":
+            return jnp.ones(x.shape[:-1] + (self.size,), x.dtype)
+        g_pre = fnn.Dense(self.size, name="W_g")(x)
+        if m in ("G", "FS"):
+            return jax.nn.sigmoid(g_pre)
+        if m == "BE":
+            return jnp.exp(g_pre)  # backward discretization
+        if m == "BR":
+            return jax.nn.relu(g_pre)
+        if m == "TE":
+            e = jnp.exp(g_pre)
+            return e / (1.0 + e / 2.0)  # trapezoid, exp
+        if m == "TR":
+            r = jax.nn.relu(g_pre)
+            return r / (1.0 + r / 2.0)
+        if m == "TS":
+            return 2.0 * jax.nn.sigmoid(g_pre)
+        if m in ("UR", "R"):
+            g = jax.nn.sigmoid(g_pre)
+            if m == "UR":
+                b = self.param("uniform_b", lambda k, s: jnp.log(
+                    jnp.maximum(jax.random.uniform(k, s), 1e-6)
+                    / jnp.maximum(1 - jax.random.uniform(jax.random.fold_in(k, 1), s), 1e-6)
+                ), (self.size,))
+                g = jax.nn.sigmoid(g_pre + b)
+            r = fnn.Dense(self.size, name="W_r")(x)
+            r = jax.nn.sigmoid(r)
+            return (1 - 2 * r) * g**2 + 2 * r * g  # refine interpolation
+        raise NotImplementedError(f"gate mechanism {m!r}")

@@ -1,0 +1,165 @@
+"""Tests for encoders, adaptive softmax/embedding, DCT, and Gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyena_dna_tpu.models.adaptive_softmax import (
+    AdaptiveEmbedding,
+    ProjectedAdaptiveLogSoftmax,
+)
+from hyena_dna_tpu.models.dxt import dct, dct_matrix, idct
+from hyena_dna_tpu.models.nn import Gate
+from hyena_dna_tpu.tasks.encoders import (
+    ENCODER_REGISTRY,
+    ClassEmbedding,
+    Conv1DEncoder,
+    EmbeddingEncoder,
+    LayerEncoder,
+    OneHotEncoder,
+    PositionalEncoder,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+# --------------------------------------------------------------------------
+# encoders
+# --------------------------------------------------------------------------
+
+
+def test_embedding_encoder():
+    enc = EmbeddingEncoder(n_tokens=12, d_model=16)
+    x = jnp.zeros((2, 8), jnp.int32)
+    params = enc.init(RNG, x)["params"]
+    y = enc.apply({"params": params}, x)
+    assert y.shape == (2, 8, 16)
+
+
+def test_positional_encoder_sinusoidal():
+    enc = PositionalEncoder(d_model=16, dropout=0.0)
+    x = jnp.zeros((2, 8, 16))
+    params = enc.init(RNG, x)
+    y = enc.apply(params, x)
+    # position 0: sin(0)=0, cos(0)=1 pattern
+    np.testing.assert_allclose(np.asarray(y[0, 0, 0]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y[0, 0, 1]), 1.0, atol=1e-6)
+
+
+def test_onehot_encoder():
+    enc = OneHotEncoder(n_tokens=4, d_model=8)
+    x = jnp.asarray([[1, 3]])
+    y = enc.apply({"params": {}}, x)
+    assert y.shape == (1, 2, 8)
+    assert float(y[0, 0, 1]) == 1.0 and float(y[0, 1, 3]) == 1.0
+
+
+def test_class_embedding_and_conv1d():
+    x = jnp.ones((2, 8, 16))
+    enc = ClassEmbedding(n_classes=4, d_model=16)
+    params = enc.init(RNG, x, y=jnp.asarray([0, 1]))["params"]
+    out = enc.apply({"params": params}, x, y=jnp.asarray([0, 1]))
+    assert out.shape == x.shape
+
+    conv = Conv1DEncoder(d_input=16, d_model=8, kernel_size=5)
+    params = conv.init(RNG, x)["params"]
+    assert conv.apply({"params": params}, x).shape == (2, 8, 8)
+
+
+def test_layer_encoder_with_hyena():
+    enc = LayerEncoder(d_model=16, layer={"_name_": "hyena", "l_max": 8,
+                                          "filter_order": 16,
+                                          "filter_cfg": {"emb_dim": 5}})
+    x = jax.random.normal(RNG, (2, 8, 16))
+    params = enc.init(RNG, x)["params"]
+    assert enc.apply({"params": params}, x).shape == x.shape
+
+
+def test_registry_names():
+    assert set(ENCODER_REGISTRY) >= {
+        "embedding", "linear", "position", "position_id", "class",
+        "onehot", "conv1d", "layer", "id",
+    }
+
+
+# --------------------------------------------------------------------------
+# adaptive softmax
+# --------------------------------------------------------------------------
+
+
+def test_adaptive_embedding_div1_and_div2():
+    x = jnp.asarray([[1, 5, 9], [0, 3, 11]], jnp.int32)
+    for div_val in (1, 2):
+        emb = AdaptiveEmbedding(n_token=12, d_embed=16, d_proj=8,
+                                cutoffs=[4, 8], div_val=div_val)
+        params = emb.init(RNG, x)["params"]
+        y = emb.apply({"params": params}, x)
+        assert y.shape == (2, 3, 8)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+def test_adaptive_logsoftmax_normalized():
+    h = jax.random.normal(RNG, (6, 8))
+    sm = ProjectedAdaptiveLogSoftmax(n_token=12, d_embed=16, d_proj=8,
+                                     cutoffs=[4, 8], div_val=2)
+    tgt = jnp.asarray([0, 3, 5, 7, 9, 11])
+    params = sm.init(RNG, h, tgt)["params"]
+    lp = sm.apply({"params": params}, h)
+    assert lp.shape == (6, 12)
+    # rows are normalized distributions
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-5)
+    nll = sm.apply({"params": params}, h, tgt)
+    assert nll.shape == (6,)
+    np.testing.assert_allclose(
+        np.asarray(nll), -np.asarray(lp)[np.arange(6), np.asarray(tgt)], rtol=1e-6
+    )
+
+
+def test_adaptive_logsoftmax_no_cutoffs_matches_dense():
+    h = jax.random.normal(RNG, (4, 8))
+    sm = ProjectedAdaptiveLogSoftmax(n_token=12, d_embed=8, d_proj=8, cutoffs=[])
+    tgt = jnp.asarray([0, 1, 2, 3])
+    params = sm.init(RNG, h, tgt)["params"]
+    lp = sm.apply({"params": params}, h)
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# DCT
+# --------------------------------------------------------------------------
+
+
+def test_dct_matches_scipy():
+    from scipy.fft import dct as sp_dct
+
+    x = np.random.default_rng(0).normal(size=(3, 16)).astype(np.float32)
+    for norm in ("backward", "ortho"):
+        ref = sp_dct(x, type=2, norm=None if norm == "backward" else "ortho")
+        for mode in ("dense", "2n", "4n"):
+            out = dct(jnp.asarray(x), norm=norm, mode=mode)
+            np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3, rtol=1e-3)
+
+
+def test_idct_ortho_roundtrip():
+    x = np.random.default_rng(1).normal(size=(2, 8)).astype(np.float32)
+    X = dct(jnp.asarray(x), norm="ortho")
+    back = idct(X, norm="ortho")
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Gate
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mech", ["N", "G", "BE", "BR", "TE", "TR", "TS", "R", "UR"])
+def test_gate_mechanisms(mech):
+    g = Gate(size=8, mechanism=mech)
+    x = jax.random.normal(RNG, (2, 8))
+    params = g.init(RNG, x)
+    out = g.apply(params, x)
+    assert out.shape == (2, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    if mech in ("G", "FS"):
+        assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
