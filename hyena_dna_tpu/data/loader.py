@@ -62,6 +62,7 @@ class DataLoader:
         self.process_count = jax.process_count() if process_count is None else process_count
         self.epoch = 0
         self.batches_served = 0  # within the current epoch
+        self._resume_pending = False  # only fast-forward after load_state_dict
 
     # --- fault tolerance ---------------------------------------------------
     def state_dict(self) -> Dict[str, Any]:
@@ -71,6 +72,7 @@ class DataLoader:
         self.epoch = int(state["epoch"])
         self.batches_served = int(state["batches_served"])
         self.seed = int(state.get("seed", self.seed))
+        self._resume_pending = self.batches_served > 0
 
     # --- iteration ---------------------------------------------------------
     def _epoch_order(self) -> np.ndarray:
@@ -105,7 +107,14 @@ class DataLoader:
     def __iter__(self) -> Iterator:
         order = self._epoch_order()
         nbatches = len(self)
-        start = self.batches_served  # fast-forward on resume
+        # fast-forward ONLY on an explicit resume; an abandoned partial
+        # iteration (e.g. a step-bounded tuning loop) restarts the epoch
+        if self._resume_pending:
+            start = self.batches_served
+            self._resume_pending = False
+        else:
+            start = 0
+        self.batches_served = start
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -104,9 +104,16 @@ class LMBackbone(fnn.Module):
         )
 
     def __call__(
-        self, input_ids: jax.Array, deterministic: bool = True
+        self,
+        input_ids: jax.Array,
+        deterministic: bool = True,
+        inputs_embeds: Optional[jax.Array] = None,
     ) -> jax.Array:
-        hidden_states = self.embeddings(input_ids)
+        """inputs_embeds (B, L, d) bypasses the embedding lookup — used by
+        soft-prompting evals that splice trainable vectors into the prompt."""
+        hidden_states = (
+            inputs_embeds if inputs_embeds is not None else self.embeddings(input_ids)
+        )
         residual = None
         for layer in self.layers:
             hidden_states, residual = layer(hidden_states, residual, deterministic)
@@ -165,9 +172,15 @@ class ConvLMHeadModel(fnn.Module):
         )
 
     def __call__(
-        self, input_ids: jax.Array, deterministic: bool = True, state=None
+        self,
+        input_ids: jax.Array,
+        deterministic: bool = True,
+        state=None,
+        inputs_embeds: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, None]:
-        hidden_states = self.backbone(input_ids, deterministic=deterministic)
+        hidden_states = self.backbone(
+            input_ids, deterministic=deterministic, inputs_embeds=inputs_embeds
+        )
         # weight-tied head: logits = h @ E^T (fp32 for a stable softmax/CE)
         lm_logits = self.backbone.embeddings.attend(hidden_states.astype(jnp.float32))
         return lm_logits, None
@@ -228,9 +241,15 @@ class DNAEmbeddingModel(fnn.Module):
         )
 
     def __call__(
-        self, input_ids: jax.Array, deterministic: bool = True, state=None
+        self,
+        input_ids: jax.Array,
+        deterministic: bool = True,
+        state=None,
+        inputs_embeds: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, None]:
-        hidden_states = self.backbone(input_ids, deterministic=deterministic)
+        hidden_states = self.backbone(
+            input_ids, deterministic=deterministic, inputs_embeds=inputs_embeds
+        )
         return hidden_states, None
 
     @property
