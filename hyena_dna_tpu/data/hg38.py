@@ -65,6 +65,9 @@ class HG38Dataset:
         self.tokenizer_name = tokenizer_name
         self.add_eos = add_eos
         self.replace_N_token = replace_N_token
+        self.shift_augs = shift_augs
+        self.rc_aug = rc_aug
+        self.pad_interval = pad_interval
         self.intervals = read_bed(bed_file, split)
         self.fasta = FastaInterval(
             fasta_file=fasta_file,
@@ -72,16 +75,66 @@ class HG38Dataset:
             rc_aug=rc_aug,
             pad_interval=pad_interval,
         )
+        # native fused fetch+tokenize path (see native/hyena_data.cpp);
+        # '.'-pad-interval and non-default tokenizers stay on the python path
+        self._native = None
+        if (
+            not pad_interval
+            and tokenizer_name == "char"
+            and self.tokenizer.padding_side == "left"
+            and tuple(self.tokenizer.characters) == ("A", "C", "G", "T", "N")
+        ):
+            try:
+                from hyena_dna_tpu.data.native import NativeFasta
+
+                self._native = NativeFasta(fasta_file)
+            except Exception:
+                self._native = None
 
     def close(self):
         """Release fasta handles (needed before seqlen-warmup re-init,
         reference `genomics.py:117-124`)."""
         self.fasta.close()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
 
     def __len__(self) -> int:
         return len(self.intervals)
 
+    def _native_item(self, idx: int, rng: Optional[np.random.Generator]):
+        """Fused C++ fetch+tokenize mirroring FastaInterval's interval math
+        (`hg38_dataset.py:70-117`)."""
+        chr_name, start, end = self.intervals[idx]
+        chromosome_length = self.fasta.chr_lens[chr_name]
+        interval_length = end - start
+        if self.shift_augs is not None:
+            min_shift, max_shift = self.shift_augs
+            max_shift += 1
+            min_shift = max(start + min_shift, 0) - start
+            max_shift = min(end + max_shift, chromosome_length) - end
+            shift = int((rng or np.random.default_rng()).integers(min_shift, max_shift))
+            start += shift
+            end += shift
+        if interval_length < self.max_length:
+            extra = self.max_length - interval_length
+            start -= extra // 2
+            end += extra - extra // 2
+        if interval_length > self.max_length:
+            end = start + self.max_length
+        rc = self.rc_aug and (rng or np.random.default_rng()).random() > 0.5
+        return self._native.fetch_tokens(
+            chr_name, start, end, self.max_length,
+            add_eos=self.add_eos, rc=rc, pad_left=True, uppercase=False,
+        )
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
+        if self._native is not None:
+            ids = self._native_item(idx, rng)
+            if self.replace_N_token:
+                n_id = self.tokenizer.get_vocab()["N"]
+                ids = np.where(ids == n_id, self.tokenizer.pad_token_id, ids)
+            return ids[:-1].astype(np.int32), ids[1:].astype(np.int32)
         chr_name, start, end = self.intervals[idx]
         seq = self.fasta(chr_name, start, end, max_length=self.max_length, rng=rng)
         out = self.tokenizer(
