@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as fnn
 
 from hyena_dna_tpu.models.nn import activation_fn
-from hyena_dna_tpu.ops.fftconv import _irfft, _rfft
+from hyena_dna_tpu.ops.fftconv import _irfft, _rfft, next_fast_fft_size
 
 
 def _double_exp_init(key, shape, dtype=jnp.float32):
@@ -142,7 +142,7 @@ class LongConv(fnn.Module):
                 k1[..., ::-1], [(0, 0), (0, 0), (L, 0)]
             )
 
-        n = L_kernel + L
+        n = next_fast_fft_size(L_kernel + L)
         k_f = _rfft(k.astype(jnp.float32), n=n)  # (C, H, F)
         u_f = _rfft(u.astype(jnp.float32), n=n)  # (B, H, F)
         y_f = jnp.einsum("bhf,chf->bchf", u_f, k_f)

@@ -34,6 +34,16 @@ import jax
 import jax.numpy as jnp
 
 
+def next_fast_fft_size(n: int) -> int:
+    """Round up to a power of two (>=16, like the reference's CUDA pad rule,
+    `/root/reference/src/ops/fftconv.py:64-66`).
+
+    Essential on TPU: XLA lowers non-power-of-2 FFTs to a dense DFT matmul —
+    an O(N^2) matrix that at N=65540 would be a 17 GB buffer. Zero-padding
+    beyond 2L-1 leaves the linear convolution unchanged."""
+    return max(16, 1 << (n - 1).bit_length())
+
+
 def _rfft(x: jax.Array, n: int) -> jax.Array:
     """rfft over the last axis, computed on a 2D view.
 
@@ -101,7 +111,11 @@ def fftconv_ref(
       Array with the shape/dtype of u.
     """
     seqlen = u.shape[-1]
-    fft_size = 2 * seqlen
+    # Bidirectional parity note: the reference computes the two-sided conv on
+    # an exactly-2L circular transform (`hyena.py:67-73`), so its result
+    # depends on the 2L wraparound — padding further would change it. The
+    # causal path has no wraparound and takes the fast power-of-2 size.
+    fft_size = 2 * seqlen if bidirectional else next_fast_fft_size(2 * seqlen)
 
     # torch: k_f = rfft(k)/N then irfft(..., norm="forward") (no 1/N on the
     # inverse). Net effect == jax default normalization with no extra scaling:
@@ -153,7 +167,7 @@ def _fftconv_fwd(u, k, D, gelu):
 def _fftconv_bwd(gelu, res, dy):
     u, k, D = res
     seqlen = u.shape[-1]
-    fft_size = 2 * seqlen
+    fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
     u_f = _rfft(u.astype(f32), n=fft_size)
@@ -212,7 +226,7 @@ def fftconv_h3(
       ssm_kernel: (H, L); D: (H,)
     """
     seqlen = k.shape[-1]
-    fft_size = 2 * seqlen
+    fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
     kernel_f = _rfft(ssm_kernel.astype(f32), n=fft_size)  # (H, N/2+1)
