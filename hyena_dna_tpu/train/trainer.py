@@ -35,6 +35,7 @@ from flax import linen as fnn
 
 from hyena_dna_tpu.data.datamodules import DATASET_REGISTRY
 from hyena_dna_tpu.data.loader import shard_batch
+from hyena_dna_tpu.parallel.sharding import NamedSharding, P
 from hyena_dna_tpu.models.heads import NDDecoder, SequenceDecoder, TokenDecoder
 from hyena_dna_tpu.parallel import commit_state_to_mesh, make_mesh, shard_params
 from hyena_dna_tpu.tasks import TASK_REGISTRY
@@ -181,6 +182,10 @@ class Trainer:
         if precision in ("16", "bf16", "bfloat16"):
             dtype = jnp.bfloat16
         model_cfg.setdefault("dtype", dtype)
+        if self.mesh.shape.get("seq", 1) > 1 and name in ("lm", "dna_embedding", "lm_simple"):
+            # sequence parallelism: route the conv chain through the
+            # shard_map channel-pencil/halo kernels (ops/distributed.py)
+            model_cfg.setdefault("mesh", self.mesh)
         layer = model_cfg.get("layer")
         if isinstance(layer, dict):
             model_cfg["layer"] = dict(layer)
@@ -247,6 +252,17 @@ class Trainer:
             )
             print(f"[step {self.global_step}] {pretty}", flush=True)
 
+    def _shard(self, batch):
+        batch = shard_batch(batch, self.mesh)
+        if self.mesh.shape.get("seq", 1) > 1:
+            spec = NamedSharding(self.mesh, P("data", "seq"))
+
+            def put(a):
+                return jax.device_put(a, spec) if a.ndim == 2 else a
+
+            batch = jax.tree_util.tree_map(put, batch)
+        return batch
+
     def loader_state(self):
         return self._train_loader.state_dict() if self._train_loader else {}
 
@@ -287,7 +303,7 @@ class Trainer:
             for i, batch in enumerate(self._train_loader):
                 if limit_train_batches and i >= limit_train_batches:
                     break
-                batch = shard_batch(batch, self.mesh)
+                batch = self._shard(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
                 self.global_step += 1
@@ -338,7 +354,7 @@ class Trainer:
         want_host = bool(self.task.host_metric_names)
         for batch in loader:
             bsz = len(batch[0])
-            batch = shard_batch(batch, self.mesh)
+            batch = self._shard(batch)
             out = self.eval_step(self.state, batch)
             metrics, logits = out if isinstance(out, tuple) else (out, None)
             for k, v in metrics.items():

@@ -208,3 +208,29 @@ def test_load_backbone_finetune(tmp_path, tiny_genome, tiny_benchmark):
     t2 = Trainer(cfg)
     final = t2.fit()
     assert "test/accuracy" in final
+
+
+def test_trainer_sequence_parallel(tmp_path, tiny_genome):
+    """End-to-end training with mesh seq=2: the conv chain runs through the
+    shard_map channel-pencil/halo kernels and the loss matches a data-only
+    mesh run bitwise at step 1."""
+    fa, bed = tiny_genome
+    base = _lm_config(tmp_path, fa, bed)
+    base["dataset"]["max_length"] = 65  # LM pairs are L-1 = 64, seq-divisible
+    base["model"]["layer"]["l_max"] = 67
+    base["trainer"]["max_epochs"] = 1
+
+    cfg_sp = json.loads(json.dumps(base))
+    cfg_sp["mesh"] = {"data": 2, "seq": 2}
+    cfg_sp["train"]["run_dir"] = str(tmp_path / "sp_run")
+    t_sp = Trainer(cfg_sp)
+    final_sp = t_sp.fit()
+
+    cfg_dp = json.loads(json.dumps(base))
+    cfg_dp["mesh"] = {"data": 2, "seq": 1}
+    cfg_dp["train"]["run_dir"] = str(tmp_path / "dp_run")
+    t_dp = Trainer(cfg_dp)
+    final_dp = t_dp.fit()
+
+    assert np.isfinite(final_sp["test/ppl"])
+    assert abs(final_sp["test/ppl"] - final_dp["test/ppl"]) < 0.05 * final_dp["test/ppl"]
