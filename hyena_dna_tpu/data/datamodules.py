@@ -470,3 +470,64 @@ class ICLGenomicsDataModule(SequenceDataModule):
         self.dataset_train = make("train", self.rc_aug)
         self.dataset_val = make("val", False)
         self.dataset_test = self.dataset_val
+
+
+class ETTDataModule(SequenceDataModule):
+    """Informer ETT time-series (`et.py:468-626`; legacy non-genomic)."""
+
+    _name_ = "ett"
+
+    def __init__(
+        self,
+        data_path: str = None,
+        variant: str = "hour",  # hour | minute | generic
+        size=None,
+        features: str = "S",
+        target: str = "OT",
+        scale: bool = True,
+        eval_stamp: bool = False,
+        eval_mask: bool = False,
+        batch_size: int = 32,
+        batch_size_eval: Optional[int] = None,
+        num_workers: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        **kwargs: Any,
+    ):
+        self.data_path = data_path
+        self.variant = variant
+        self.size = tuple(size) if size else None
+        self.features = features
+        self.target = target
+        self.scale = scale
+        self.eval_stamp = eval_stamp
+        self.eval_mask = eval_mask
+        self.batch_size = batch_size
+        self.batch_size_eval = batch_size_eval
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def setup(self):
+        from hyena_dna_tpu.data.timeseries import (
+            ETTHourDataset,
+            ETTMinuteDataset,
+            InformerDataset,
+        )
+
+        cls = {"hour": ETTHourDataset, "minute": ETTMinuteDataset,
+               "generic": InformerDataset}[self.variant]
+
+        def make(flag):
+            return cls(
+                self.data_path, flag=flag, size=self.size,
+                features=self.features, target=self.target, scale=self.scale,
+                eval_stamp=self.eval_stamp, eval_mask=self.eval_mask,
+            )
+
+        self.dataset_train = make("train")
+        self.dataset_val = make("val")
+        self.dataset_test = make("test")
+        self.d_input = self.dataset_train.d_input
+        self.d_output = self.dataset_train.d_output
+        self.l_output = self.dataset_train.pred_len
