@@ -104,6 +104,9 @@ class LongConv(fnn.Module):
     dropout: float = 0.0
     transposed: bool = False  # accepted for parity; layout is (B, L, H)
     kernel_cfg: Optional[dict] = None
+    block_fft_conv: bool = False  # monarch/learnable block-FFT path
+    block_fft_conv_args: Optional[dict] = None
+    learn_ifft: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -118,6 +121,12 @@ class LongConv(fnn.Module):
             name="kernel",
             **kcfg,
         )
+        if self.block_fft_conv:
+            from hyena_dna_tpu.models.block_fft import BlockFFT
+
+            args = dict(self.block_fft_conv_args or {})
+            self.block_fft_u = BlockFFT(name="block_fft_u", **args)
+            self.block_fft_k = BlockFFT(name="block_fft_k", **args)
         self.act = activation_fn(self.activation)
         self.drop = fnn.Dropout(rate=self.dropout)
         if self.postact is not None:
@@ -143,10 +152,20 @@ class LongConv(fnn.Module):
             )
 
         n = next_fast_fft_size(L_kernel + L)
-        k_f = _rfft(k.astype(jnp.float32), n=n)  # (C, H, F)
-        u_f = _rfft(u.astype(jnp.float32), n=n)  # (B, H, F)
-        y_f = jnp.einsum("bhf,chf->bchf", u_f, k_f)
-        y = _irfft(y_f, n=n)[..., :L]  # (B, C, H, L)
+        if self.block_fft_conv:
+            # learnable block-FFT path (`long_conv.py:140-147`)
+            k_f = self.block_fft_k(k.astype(jnp.complex64), N=n)
+            u_f = self.block_fft_u(u.astype(jnp.complex64), N=n)
+            y_f = jnp.einsum("bhf,chf->bchf", u_f, k_f)
+            if self.learn_ifft:
+                y = self.block_fft_u(y_f, N=n, forward=False).real[..., :L]
+            else:
+                y = jnp.fft.ifft(y_f, n=n, axis=-1).real[..., :L]
+        else:
+            k_f = _rfft(k.astype(jnp.float32), n=n)  # (C, H, F)
+            u_f = _rfft(u.astype(jnp.float32), n=n)  # (B, H, F)
+            y_f = jnp.einsum("bhf,chf->bchf", u_f, k_f)
+            y = _irfft(y_f, n=n)[..., :L]  # (B, C, H, L)
         y = y + jnp.einsum("bhl,ch->bchl", u.astype(jnp.float32), self.D)
         y = y.reshape(y.shape[0], -1, L)  # (B, C*H, L)
         y = jnp.swapaxes(y, -1, -2)  # (B, L, C*H)

@@ -308,3 +308,45 @@ class NumTokens:
 
     def reset(self):  # persistent by design
         pass
+
+
+# --------------------------------------------------------------------------
+# probabilistic regression losses (`metrics.py:125-153`)
+# --------------------------------------------------------------------------
+
+
+def _student_t_map(mu, sigma, nu):
+    sigma = jax.nn.softplus(sigma)
+    nu = 2.0 + jax.nn.softplus(nu)
+    return mu.squeeze(-1), sigma.squeeze(-1), nu.squeeze(-1)
+
+
+def student_t_loss(outs, y):
+    """Negative log-likelihood of a Student-t head (`metrics.py:125-141`)."""
+    mu, sigma, nu = outs[..., 0:1], outs[..., 1:2], outs[..., 2:3]
+    mu, sigma, nu = _student_t_map(mu, sigma, nu)
+    y = y.squeeze(-1)
+    nup1_half = (nu + 1.0) / 2.0
+    part1 = 1.0 / nu * jnp.square((y - mu) / sigma)
+    Z = (
+        jax.scipy.special.gammaln(nup1_half)
+        - jax.scipy.special.gammaln(nu / 2.0)
+        - 0.5 * jnp.log(math.pi * nu)
+        - jnp.log(sigma)
+    )
+    ll = Z - nup1_half * jnp.log1p(part1)
+    return -jnp.mean(ll)
+
+
+def gaussian_ll_loss(outs, y):
+    """Gaussian NLL head (`metrics.py:143-153`)."""
+    mu, sigma = outs[..., 0], outs[..., 1]
+    y = y.squeeze(-1)
+    sigma = jax.nn.softplus(sigma)
+    ll = -(jnp.log(sigma) + 0.5 * math.log(2 * math.pi)
+           + 0.5 * jnp.square((y - mu) / sigma))
+    return -jnp.mean(ll)
+
+
+METRIC_FNS["student_t"] = student_t_loss
+METRIC_FNS["gaussian_ll"] = gaussian_ll_loss
