@@ -58,6 +58,10 @@ class HyenaOperator(fnn.Module):
     # conv chain runs sequence-sharded (channel-pencil FFT + halo short conv)
     mesh: Any = None
     seq_axis: str = "seq"
+    # Pallas fused front end (proj+transpose+short conv+first gate), see
+    # ops/pallas_hyena.py. None = auto (on for TPU when shapes allow).
+    use_pallas_front: Any = None
+    pallas_interpret: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -136,6 +140,11 @@ class HyenaOperator(fnn.Module):
             self.mesh is not None and self.mesh.shape.get(self.seq_axis, 1) > 1
         )
 
+        if not seq_parallel:
+            fused = self._try_pallas_front(u, l, l_filter, deterministic)
+            if fused is not None:
+                return fused
+
         u = self.in_proj(u)  # (B, L, (o+1)d)
         u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
 
@@ -201,6 +210,57 @@ class HyenaOperator(fnn.Module):
         y = self.act(y)
         y = self.out_proj(y)
 
+        if self.return_state:
+            return y, None
+        return y
+
+    def _try_pallas_front(self, u, l, l_filter, deterministic):
+        """Run the fused Pallas front end when eligible (order=2, heads=1,
+        blocks=1, full-length, tileable L); None -> caller uses the
+        unfused path."""
+        import jax as _jax
+
+        eligible = (
+            self.order == 2
+            and self.num_heads == 1
+            and self.num_blocks == 1
+            and self.inner_factor == 1
+            and not self.outer_mixing
+            and not self.post_order_ffn
+            and l == l_filter
+        )
+        if not eligible:
+            return None
+        use = self.use_pallas_front
+        if use is None:
+            use = _jax.default_backend() == "tpu"
+        if not use and not self.pallas_interpret:
+            return None
+        tile_l = next((t for t in (512, 256, 128, 64, 32) if l % t == 0), None)
+        if tile_l is None:
+            return None
+
+        from hyena_dna_tpu.ops.pallas_hyena import fused_proj_conv_gate
+
+        w = self.in_proj.variables["params"]["kernel"].astype(jnp.float32)
+        bp = self.in_proj.variables["params"]["bias"].astype(jnp.float32)
+        wc = jnp.swapaxes(self.short_filter_weight, 0, 1).astype(jnp.float32)
+        bc = self.short_filter_bias.astype(jnp.float32)
+        vx, x0 = fused_proj_conv_gate(
+            u, w, bp, wc, bc, tile_l, self.pallas_interpret
+        )
+        vx = self.drop(vx, deterministic=deterministic)
+
+        k = self.filter_fn.filter(l_filter)  # (1, L, d)
+        k = jnp.swapaxes(k[0], 0, 1)  # (d, L)
+        bias = self.filter_fn.bias  # (d,)
+        from hyena_dna_tpu.ops import fftconv_chunked as _fftconv
+
+        v = _fftconv(vx, k.astype(jnp.float32), bias.astype(jnp.float32), False)
+        y = (v * x0).astype(u.dtype)
+        y = jnp.swapaxes(y, -1, -2)
+        y = self.act(y)
+        y = self.out_proj(y)
         if self.return_state:
             return y, None
         return y

@@ -34,7 +34,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from hyena_dna_tpu.ops.fftconv import fftconv
+from hyena_dna_tpu.ops.fftconv import fftconv, fftconv_chunked
 from hyena_dna_tpu.ops.short_conv import short_conv_1d_with_halo
 
 
@@ -79,7 +79,7 @@ def seq_fftconv(
         c_blk = c // s
         k_blk = lax.dynamic_slice_in_dim(k_full, idx * c_blk, c_blk, axis=0)
         D_blk = lax.dynamic_slice_in_dim(D_full, idx * c_blk, c_blk, axis=0)
-        y = fftconv(u_cs, k_blk, D_blk, False)
+        y = fftconv_chunked(u_cs, k_blk, D_blk, False)
         # (B_loc, C/S, L) -> (B_loc, C, L/S)
         return lax.all_to_all(y, seq_axis, split_axis=2, concat_axis=1, tiled=True)
 

@@ -250,3 +250,50 @@ def fftconv_h3(
     q_r = q.reshape(b, -1, head_dim, seqlen).astype(f32)
     out = jnp.einsum("bfghl,bfhl->bghl", out, q_r)
     return out.reshape(b, -1, seqlen).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# channel-chunked variant for long-context memory control
+# ---------------------------------------------------------------------------
+
+
+def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int = 1 << 29) -> int:
+    """Channels per chunk so one chunk's complex spectrum stays under
+    ~budget_bytes. At 1M context the full-width (C=256) conv needs several
+    GB of f32 FFT workspace (the 450k single-chip OOM); chunking trades a
+    lax.scan over channel blocks for a bounded working set."""
+    fft_size = next_fast_fft_size(2 * seqlen)
+    per_channel = (fft_size // 2 + 1) * 8  # complex64 spectrum bytes
+    block = max(1, budget_bytes // (4 * per_channel))  # ~4 live buffers
+    while c % block != 0:  # need an even split for scan
+        block -= 1
+    return block
+
+
+def fftconv_chunked(
+    u: jax.Array,
+    k: jax.Array,
+    D: jax.Array,
+    gelu: bool = False,
+    channel_block: Optional[int] = None,
+) -> jax.Array:
+    """Causal fftconv on (B, C, L) evaluated in channel chunks via lax.scan.
+
+    Differentiating through the scan re-uses the custom frequency-domain
+    VJP per chunk, so the backward pass is memory-bounded too."""
+    assert u.ndim == 3, "chunked path expects (B, C, L)"
+    b, c, l = u.shape
+    block = channel_block or fftconv_chunk_size(c, l)
+    if block >= c:
+        return fftconv(u, k, D, gelu)
+    n = c // block
+    u_c = jnp.moveaxis(u.reshape(b, n, block, l), 1, 0)  # (n, B, blk, L)
+    k_c = k.reshape(n, block, l)
+    D_c = jnp.asarray(D).reshape(n, block)
+
+    def body(_, inp):
+        uu, kk, dd = inp
+        return None, fftconv(uu, kk, dd, gelu)
+
+    _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
+    return jnp.moveaxis(y, 0, 1).reshape(b, c, l)

@@ -113,3 +113,27 @@ def test_short_conv_matches_torch(K):
     got = np.asarray(short_conv_1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
     want = short_conv_oracle(torch.as_tensor(x), torch.as_tensor(w), torch.as_tensor(b)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fftconv_chunked_matches_unchunked():
+    import jax
+
+    from hyena_dna_tpu.ops import fftconv, fftconv_chunked
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(2, 16, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    ref = fftconv(u, k, D, False)
+    out = fftconv_chunked(u, k, D, False, channel_block=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # gradients flow through the scan and match
+    g_ref = jax.grad(lambda u, k, D: jnp.sum(fftconv(u, k, D, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+    g_out = jax.grad(
+        lambda u, k, D: jnp.sum(fftconv_chunked(u, k, D, False, channel_block=4) ** 2),
+        argnums=(0, 1, 2),
+    )(u, k, D)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
