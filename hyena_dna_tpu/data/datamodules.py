@@ -123,8 +123,21 @@ class HG38DataModule(SequenceDataModule):
         self.seed = seed
 
     def setup(self):
-        self.tokenizer = CharacterTokenizer(model_max_length=self.max_length + 2)
-        self.vocab_size = self.tokenizer.vocab_size
+        if self.tokenizer_name == "bpe":
+            # AIRI gena-lm BPE (`genomics.py:102-105`); zero-egress: load from
+            # a local snapshot dir given via bpe_tokenizer_path attr/env
+            import os
+
+            from transformers import AutoTokenizer
+
+            path = getattr(self, "bpe_tokenizer_path", None) or os.environ.get(
+                "HYENA_BPE_TOKENIZER_PATH", "AIRI-Institute/gena-lm-bert-base"
+            )
+            self.tokenizer = AutoTokenizer.from_pretrained(path)
+            self.vocab_size = len(self.tokenizer)
+        else:
+            self.tokenizer = CharacterTokenizer(model_max_length=self.max_length + 2)
+            self.vocab_size = self.tokenizer.vocab_size
         self.init_datasets()
 
     def init_datasets(self):

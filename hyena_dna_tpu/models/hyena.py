@@ -221,7 +221,8 @@ class HyenaOperator(fnn.Module):
         import jax as _jax
 
         eligible = (
-            self.order == 2
+            not self.is_initializing()  # init creates params via the unfused path
+            and self.order == 2
             and self.num_heads == 1
             and self.num_blocks == 1
             and self.inner_factor == 1

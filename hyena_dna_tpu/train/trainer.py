@@ -86,6 +86,21 @@ class Trainer:
         self.run_dir = str(self.train_cfg.get("run_dir", "runs/default"))
         Path(self.run_dir).mkdir(parents=True, exist_ok=True)
         self._metrics_file = open(Path(self.run_dir) / "metrics.jsonl", "a")
+        # optional wandb sink (the reference's primary logger, train.py:72-121);
+        # activates only when wandb is importable and config.wandb is set
+        self._wandb = None
+        wandb_cfg = config.get("wandb")
+        if wandb_cfg:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=wandb_cfg.get("project", "hyena_dna_tpu"),
+                    config=config, **{k: v for k, v in wandb_cfg.items()
+                                      if k not in ("project",)},
+                )
+            except Exception:
+                self._wandb = None
 
         # ---- mesh -------------------------------------------------------
         mesh_cfg = dict(config.get("mesh", {}))
@@ -245,6 +260,8 @@ class Trainer:
         record = {"step": int(self.global_step), "epoch": self.epoch, **metrics}
         self._metrics_file.write(json.dumps(record, default=float) + "\n")
         self._metrics_file.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=int(self.global_step))
         if jax.process_index() == 0:
             pretty = " ".join(
                 f"{k}={v:.4g}" if isinstance(v, (int, float)) else f"{k}={v}"
