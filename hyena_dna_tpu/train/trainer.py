@@ -172,6 +172,22 @@ class Trainer:
         self.frozen_labels = None
         self._maybe_load_pretrained()
 
+        # optional EMA of the parameters (reference `train.ema` + EMA val
+        # loaders, train.py:548-553): evaluated alongside the raw params
+        self.ema_decay = float(self.train_cfg.get("ema", 0) or 0)
+        self.ema_params = None
+        if self.ema_decay:
+            self.ema_params = jax.tree_util.tree_map(lambda p: p, self.state.params)
+            decay = self.ema_decay
+
+            @jax.jit
+            def ema_update(ema, params):
+                return jax.tree_util.tree_map(
+                    lambda e, p: decay * e + (1.0 - decay) * p, ema, params
+                )
+
+            self._ema_update = ema_update
+
         # ---- steps ------------------------------------------------------
         self.train_step = make_train_step(
             self.task, accumulate_grad_batches=self.accumulate_grad_batches
@@ -323,6 +339,8 @@ class Trainer:
                 batch = self._shard(batch)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, batch, step_rng)
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_update(self.ema_params, self.state.params)
                 self.global_step += 1
                 if "token_count" in metrics:
                     ppl.update(metrics["nll_sum"], metrics["token_count"])
@@ -346,6 +364,11 @@ class Trainer:
                 epoch_metrics["train/ppl"] = ppl.compute()
             if val_loader is not None and len(val_loader) > 0:
                 epoch_metrics.update(self.evaluate(val_loader, "val"))
+                if self.ema_params is not None:
+                    ema_state = self.state.replace(params=self.ema_params)
+                    epoch_metrics.update(
+                        self.evaluate(val_loader, "val_ema", state=ema_state)
+                    )
             if epoch_metrics:
                 self.log(epoch_metrics)
             for cb in self.callbacks:
@@ -361,7 +384,8 @@ class Trainer:
         return final
 
     # ------------------------------------------------------------------
-    def evaluate(self, loader, split: str = "val") -> Dict[str, float]:
+    def evaluate(self, loader, split: str = "val", state=None) -> Dict[str, float]:
+        state = state if state is not None else self.state
         sums: Dict[str, float] = {}
         weights: Dict[str, float] = {}
         nll_sum = 0.0
@@ -372,7 +396,7 @@ class Trainer:
         for batch in loader:
             bsz = len(batch[0])
             batch = self._shard(batch)
-            out = self.eval_step(self.state, batch)
+            out = self.eval_step(state, batch)
             metrics, logits = out if isinstance(out, tuple) else (out, None)
             for k, v in metrics.items():
                 if k in ("nll_sum", "token_count"):

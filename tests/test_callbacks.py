@@ -73,3 +73,26 @@ def test_profiling_utils():
     assert set(mem) == {"bytes_in_use", "peak_bytes_in_use", "bytes_limit"}
     flops = flops_estimate(d_model=256, n_layer=8, d_inner=1024, seq_len=32768)
     assert 1e6 < flops < 1e9  # per-token train FLOPs for the small model
+
+
+def test_ema_evaluation(tmp_path, tiny_genome):
+    fa, bed = tiny_genome
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "ema_run"), "ema": 0.9},
+        "mesh": {"data": 1},
+        "trainer": {"max_epochs": 2, "precision": "32", "log_every_n_steps": 4},
+        "dataset": {"_name_": "hg38", "bed_file": str(bed), "fasta_file": str(fa),
+                    "batch_size": 4, "max_length": 32, "add_eos": True},
+        "task": {"_name_": "lm", "loss": "cross_entropy"},
+        "model": {"_name_": "lm", "d_model": 16, "n_layer": 1, "d_inner": 64,
+                  "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 34, "w": 10}},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {},
+    }
+    trainer = Trainer(cfg)
+    trainer.fit()
+    lines = [json.loads(l) for l in open(Path(cfg["train"]["run_dir"]) / "metrics.jsonl")]
+    keys = set().union(*(l.keys() for l in lines))
+    assert "val_ema/ppl" in keys and "val/ppl" in keys
