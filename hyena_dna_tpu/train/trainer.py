@@ -177,7 +177,7 @@ class Trainer:
         self.ema_decay = float(self.train_cfg.get("ema", 0) or 0)
         self.ema_params = None
         if self.ema_decay:
-            self.ema_params = jax.tree_util.tree_map(lambda p: p, self.state.params)
+            self.ema_params = jax.tree_util.tree_map(jnp.copy, self.state.params)
             decay = self.ema_decay
 
             @jax.jit
