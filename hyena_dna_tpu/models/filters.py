@@ -167,12 +167,31 @@ class HyenaFilter(fnn.Module):
         k: jax.Array | None = None,
         bias: jax.Array | None = None,
     ) -> jax.Array:
-        """Apply the long conv: x (..., C, L) -> (..., C, L)."""
+        """Apply the long conv: x (..., C, L) -> (..., C, L).
+
+        Long-context memory: whenever the layout can be normalized to
+        (N, C, L) the conv runs channel-chunked (bounded FFT workspace —
+        at 450k+ the full-width conv's f32 spectra otherwise exceed HBM)."""
         if k is None:
             k = self.filter(L)[0].T  # (d_model, L)
         if bias is None:
             bias = self.bias
         if not self.use_bias:
             bias = jnp.zeros_like(bias)
+
+        from hyena_dna_tpu.ops.fftconv import fftconv_chunked
+
+        c = k.shape[0]
+        bias_arr = jnp.asarray(bias)
+        if bias_arr.size == c:
+            if x.ndim == 3 and x.shape[-2] == c:
+                y = fftconv_chunked(x, k, bias_arr.reshape(c), False)
+                return y.astype(x.dtype)
+            if x.ndim == 5 and x.shape[-3] == c:
+                b, ho, _, z, l = x.shape
+                xt = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b * ho * z, c, l)
+                y = fftconv_chunked(xt, k, bias_arr.reshape(c), False)
+                y = jnp.transpose(y.reshape(b, ho, z, c, l), (0, 1, 3, 2, 4))
+                return y.astype(x.dtype)
         y = fftconv(x, k, bias, False)
         return y.astype(x.dtype)
