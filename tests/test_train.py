@@ -236,3 +236,17 @@ def test_sharded_train_step_8dev():
     step_r = make_train_step(LMTask())
     _, metrics_r = step_r(state_r, (jnp.asarray(x), jnp.asarray(y)), jax.random.PRNGKey(0))
     assert abs(float(metrics["loss"]) - float(metrics_r["loss"])) < 1e-4
+
+
+def test_launch_helpers_single_process():
+    from hyena_dna_tpu.parallel.launch import (
+        all_reduce_scalar,
+        barrier,
+        initialize_distributed,
+        is_main_process,
+    )
+
+    initialize_distributed()  # no-op single process
+    assert is_main_process()
+    barrier()
+    assert all_reduce_scalar(2.5) == 2.5
