@@ -97,6 +97,7 @@ class HG38DataModule(SequenceDataModule):
         use_fixed_len_val: bool = False,
         replace_N_token: bool = False,
         pad_interval: bool = False,
+        bpe_tokenizer_path: Optional[str] = None,
         seed: int = 0,
         fault_tolerant: bool = False,  # vacuous: loaders always resumable
         ddp: bool = False,
@@ -120,6 +121,7 @@ class HG38DataModule(SequenceDataModule):
         self.use_fixed_len_val = use_fixed_len_val
         self.replace_N_token = replace_N_token
         self.pad_interval = pad_interval
+        self.bpe_tokenizer_path = bpe_tokenizer_path
         self.seed = seed
 
     def setup(self):
