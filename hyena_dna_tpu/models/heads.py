@@ -65,6 +65,15 @@ class SequenceDecoder(fnn.Module):
                 x = cummean[jnp.arange(x.shape[0]), mask_sums, :][:, None, :]
         elif self.mode == "sum":
             x = jnp.cumsum(x, axis=-2)[..., -l_output:, :]
+        elif self.mode == "ragged":
+            # per-sequence true length (`decoders.py:110-114`): gather the
+            # feature at each sequence's last real position (static shapes:
+            # gather instead of python-side trimming)
+            assert lengths is not None, "lengths required for ragged mode"
+            idx = jnp.asarray(lengths).reshape(-1) - 1
+            x = jnp.take_along_axis(
+                x, idx[:, None, None].astype(jnp.int32), axis=-2
+            )
         else:
             raise NotImplementedError(f"mode {self.mode}")
 
@@ -125,3 +134,71 @@ class NDDecoder(fnn.Module):
                 name="output_transform",
             )(x)
         return x
+
+
+class RetrievalHead(fnn.Module):
+    """Dual-sequence retrieval classifier (`decoders.py:201-245`): NLI-style
+    [a, b, a-b, a*b] features or plain concat, then an MLP."""
+
+    d_input: int
+    d_model: int
+    n_classes: int
+    nli: bool = True
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        act = {"relu": jax.nn.relu, "gelu": jax.nn.gelu}[self.activation]
+        a, b = jnp.split(x, 2, axis=0)  # (2B, d) -> 2 x (B, d)
+        if self.nli:
+            feats = jnp.concatenate([a, b, a - b, a * b], axis=-1)
+            h = fnn.Dense(self.d_model, dtype=self.dtype, name="fc1")(feats)
+            h = act(h)
+            return fnn.Dense(self.n_classes, dtype=self.dtype, name="fc2")(h)
+        feats = jnp.concatenate([a, b], axis=-1)
+        h = act(fnn.Dense(self.d_model, dtype=self.dtype, name="fc1")(feats))
+        h = act(fnn.Dense(self.d_model // 2, dtype=self.dtype, name="fc2")(h))
+        return fnn.Dense(self.n_classes, dtype=self.dtype, name="fc3")(h)
+
+
+class RetrievalDecoder(fnn.Module):
+    """SequenceDecoder feature pool + RetrievalHead (`decoders.py:248-275`)."""
+
+    d_input: int
+    n_classes: int
+    d_model: Optional[int] = None
+    nli: bool = True
+    activation: str = "relu"
+    mode: str = "pool"
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x: jax.Array, state=None, **kwargs) -> jax.Array:
+        feat = SequenceDecoder(
+            d_model=self.d_input, d_output=None, l_output=0, mode=self.mode,
+            dtype=self.dtype, name="feature",
+        )(x, **kwargs)
+        return RetrievalHead(
+            d_input=self.d_input,
+            d_model=self.d_model or self.d_input,
+            n_classes=self.n_classes,
+            nli=self.nli,
+            activation=self.activation,
+            dtype=self.dtype,
+            name="retrieval",
+        )(feat)
+
+
+class StateDecoder(fnn.Module):
+    """Decode from the model's final state (`decoders.py:188-198`)."""
+
+    d_model: int
+    d_output: int
+    state_to_tensor: Any = None  # callable state -> (B, d_model)
+    dtype: Any = jnp.float32
+
+    @fnn.compact
+    def __call__(self, x, state=None, **kwargs) -> jax.Array:
+        s = self.state_to_tensor(state) if self.state_to_tensor else state
+        return fnn.Dense(self.d_output, dtype=self.dtype, name="output_transform")(s)

@@ -163,3 +163,26 @@ def test_gate_mechanisms(mech):
     assert np.isfinite(np.asarray(out)).all()
     if mech in ("G", "FS"):
         assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_retrieval_state_ragged_decoders():
+    from hyena_dna_tpu.models.heads import (
+        RetrievalDecoder,
+        SequenceDecoder,
+        StateDecoder,
+    )
+
+    x = jax.random.normal(RNG, (4, 8, 16))
+    rd = RetrievalDecoder(d_input=16, n_classes=3)
+    p = rd.init(RNG, x)["params"]
+    assert rd.apply({"params": p}, x).shape == (2, 3)
+
+    sd = SequenceDecoder(d_model=16, d_output=None, l_output=0, mode="ragged")
+    lengths = jnp.asarray([3, 8, 2, 5])
+    out = sd.apply({"params": {}}, x, lengths=lengths)
+    ref = np.stack([np.asarray(x)[i, l - 1] for i, l in enumerate([3, 8, 2, 5])])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+    st = StateDecoder(d_model=16, d_output=4)
+    p = st.init(RNG, x, state=jnp.ones((4, 16)))["params"]
+    assert st.apply({"params": p}, x, state=jnp.ones((4, 16))).shape == (4, 4)
