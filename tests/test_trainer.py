@@ -234,3 +234,29 @@ def test_trainer_sequence_parallel(tmp_path, tiny_genome):
 
     assert np.isfinite(final_sp["test/ppl"])
     assert abs(final_sp["test/ppl"] - final_dp["test/ppl"]) < 0.05 * final_dp["test/ppl"]
+
+
+def test_masked_classification_end_to_end(tmp_path, tiny_benchmark):
+    """return_mask=True flows the attention mask through loader -> step ->
+    decoder masked pooling."""
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "masked_run")},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 2, "precision": "32", "log_every_n_steps": 8},
+        "dataset": {"_name_": "genomic_benchmark", "dataset_name": "toy_task",
+                    "dest_path": str(tiny_benchmark), "d_output": 2,
+                    "batch_size": 8, "max_length": 48, "use_padding": True,
+                    "return_mask": True},
+        "task": {"_name_": "masked_multiclass", "loss": "cross_entropy",
+                 "metrics": ["accuracy"]},
+        "model": {"_name_": "dna_embedding", "d_model": 32, "n_layer": 2,
+                  "d_inner": 128, "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 50, "w": 10}},
+        "decoder": {"_name_": "sequence", "mode": "pool", "l_output": 0},
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.0},
+        "callbacks": {},
+    }
+    trainer = Trainer(cfg)
+    final = trainer.fit()
+    assert "test/accuracy" in final and np.isfinite(final["test/accuracy"])
