@@ -133,8 +133,16 @@ def fftconv_ref(
     else:
         u_in = u.astype(fft_dtype)
 
-    u_f = _rfft(u_in, n=fft_size)
-    y = _irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
+    if (
+        fft_size >= TWO_STEP_FFT_MIN
+        and not bidirectional
+        and k_rev is None
+    ):
+        # beyond the monolithic TPU FFT: blocked two-step transform
+        y = fftconv_long(u_in, k, None, fft_size)[..., :seqlen]
+    else:
+        u_f = _rfft(u_in, n=fft_size)
+        y = _irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
 
     if D is not None:
         y = y + u.astype(fft_dtype) * jnp.asarray(D, fft_dtype)[..., None]
@@ -169,6 +177,9 @@ def _fftconv_bwd(gelu, res, dy):
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
+
+    if fft_size >= TWO_STEP_FFT_MIN:
+        return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
     u_f = _rfft(u.astype(f32), n=fft_size)
     k_f = _rfft(k.astype(f32), n=fft_size)
@@ -297,3 +308,109 @@ def fftconv_chunked(
 
     _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
     return jnp.moveaxis(y, 0, 1).reshape(b, c, l)
+
+
+# ---------------------------------------------------------------------------
+# two-step (four-step / Bailey) FFT for very long transforms
+# ---------------------------------------------------------------------------
+
+# Above this size the monolithic XLA TPU FFT is either unsupported or slower
+# than a blocked decomposition; 2-step splits an N-point FFT into R-point and
+# M-point passes (N = R*M) with a twiddle multiply between.
+TWO_STEP_FFT_MIN = 1 << 21
+
+
+def _split_rm(n: int) -> tuple[int, int]:
+    """Balanced power-of-2 split N = R*M with R <= M."""
+    logn = n.bit_length() - 1
+    r = 1 << (logn // 2)
+    return r, n // r
+
+
+def fft_2step(x: jax.Array, n: int) -> jax.Array:
+    """Complex N-point FFT via the four-step algorithm, returning the
+    spectrum in PERMUTED order X[q*R + p] laid out as (..., R(p), M(q)).
+
+    For convolution the permutation is irrelevant as long as both operands
+    use the same transform (multiply bin-wise, invert with ifft_2step).
+    x: (..., L) with L <= n; zero-padded to n.
+    """
+    r, m = _split_rm(n)
+    pad = n - x.shape[-1]
+    if pad:
+        x = jnp.pad(x.astype(jnp.complex64), [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    else:
+        x = x.astype(jnp.complex64)
+    # time index t = a*m + b -> (a, b), a in [0, R), b in [0, M)
+    xg = x.reshape(*x.shape[:-1], r, m)
+    # step 1: FFT over a (length R) for each b
+    g = jnp.fft.fft(jnp.swapaxes(xg, -1, -2), axis=-1)  # (..., M(b), R(p))
+    # step 2: twiddle W_N^{b p}
+    b_idx = jnp.arange(m)[:, None]
+    p_idx = jnp.arange(r)[None, :]
+    tw = jnp.exp(-2j * jnp.pi * (b_idx * p_idx) / n).astype(jnp.complex64)
+    g = g * tw
+    # step 3: FFT over b (length M) for each p -> X[q*R+p] at (..., p, q)
+    g = jnp.fft.fft(jnp.swapaxes(g, -1, -2), axis=-1)  # (..., R(p), M(q))
+    return g.reshape(*x.shape[:-1], n)
+
+
+def ifft_2step(xf: jax.Array, n: int) -> jax.Array:
+    """Inverse of fft_2step (input in the same permuted order):
+    ifft(x) = conj(fft(conj(x)))/N with the matching permutation."""
+    r, m = _split_rm(n)
+    xg = jnp.conj(xf).reshape(*xf.shape[:-1], r, m)
+    # undo step 3
+    g = jnp.fft.fft(xg, axis=-1)  # over q -> b'... same structure as forward
+    b_idx = jnp.arange(m)[None, :]
+    p_idx = jnp.arange(r)[:, None]
+    tw = jnp.exp(-2j * jnp.pi * (b_idx * p_idx) / n).astype(jnp.complex64)
+    g = g * tw
+    g = jnp.fft.fft(jnp.swapaxes(g, -1, -2), axis=-1)  # over p
+    # result is conj of time signal at layout (..., M(b), R(a))?? -> flatten
+    out = jnp.conj(g) / n
+    out = jnp.swapaxes(out.reshape(*xf.shape[:-1], m, r), -1, -2)
+    return out.reshape(*xf.shape[:-1], n)
+
+
+def fftconv_long(u: jax.Array, k: jax.Array, D: jax.Array, n: int) -> jax.Array:
+    """Causal conv via the permuted-order two-step FFT (for n beyond the
+    monolithic TPU FFT's reach). Same math as fftconv, complex transform."""
+    seqlen = u.shape[-1]
+    u_f = fft_2step(u.astype(jnp.float32), n)
+    k_f = fft_2step(k.astype(jnp.float32), n)
+    y = ifft_2step(u_f * k_f, n).real[..., :seqlen]
+    if D is not None:
+        y = y + u.astype(jnp.float32) * jnp.asarray(D, jnp.float32)[..., None]
+    return y.astype(u.dtype)
+
+
+def _fftconv_bwd_long(gelu, res, dy, fft_size):
+    """Backward via the permuted-order two-step transform (conjugation works
+    bin-wise in any consistent ordering)."""
+    u, k, D = res
+    seqlen = u.shape[-1]
+    f32 = jnp.float32
+    u_f = fft_2step(u.astype(f32), fft_size)
+    k_f = fft_2step(k.astype(f32), fft_size)
+    k_f_b = _expand_k(k_f, u.ndim)
+    D_arr = jnp.asarray(D)
+    D_full = D_arr.astype(f32)[..., None]
+
+    dy = dy.astype(f32)
+    if gelu:
+        pre = ifft_2step(u_f * k_f_b, fft_size).real[..., :seqlen]
+        pre = pre + u.astype(f32) * D_full
+        inv_sqrt2 = 1.0 / math.sqrt(2.0)
+        cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
+        pdf = jnp.exp(-0.5 * pre * pre) / math.sqrt(2.0 * math.pi)
+        dy = dy * (cdf + pre * pdf)
+
+    dy_f = fft_2step(dy, fft_size)
+    du = ifft_2step(dy_f * k_f_b.conj(), fft_size).real[..., :seqlen]
+    du = du + dy * D_full
+    dk_full = ifft_2step(dy_f * u_f.conj(), fft_size).real[..., :seqlen]
+    k_b_shape = _expand_k(k, u.ndim).shape
+    dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
+    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)

@@ -137,3 +137,30 @@ def test_fftconv_chunked_matches_unchunked():
     )(u, k, D)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_fftconv_two_step_path_parity():
+    """Force the two-step FFT path at small size and check fwd+bwd parity."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref_y = F.fftconv(u, k, D, False)
+    ref_g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2), argnums=(0, 1, 2))(u, k, D)
+
+    old = F.TWO_STEP_FFT_MIN
+    F.TWO_STEP_FFT_MIN = 64
+    try:
+        y = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y), atol=1e-3, rtol=1e-3)
+        g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2), argnums=(0, 1, 2))(u, k, D)
+        for a, b in zip(g, ref_g):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-3)
+    finally:
+        F.TWO_STEP_FFT_MIN = old
