@@ -124,7 +124,7 @@ def power(L: int, A: jax.Array, v: Optional[jax.Array] = None):
             powers = powers @ powers
     if v is None:
         return result
-    return result, result @ v[..., None][..., 0] if v.ndim == A.ndim - 1 else result @ v
+    return jnp.einsum("...ij,...j->...i", result, v)
 
 
 # --------------------------------------------------------------------------
