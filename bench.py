@@ -19,6 +19,24 @@ import sys
 import time
 
 import jax
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: long-context programs take minutes
+    to compile; cache survives process restarts (seqlen-warmup stages, bench
+    reruns)."""
+    import os
+
+    import jax as _jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 

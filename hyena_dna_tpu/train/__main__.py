@@ -12,6 +12,24 @@ import sys
 from pathlib import Path
 
 from hyena_dna_tpu.train.trainer import Trainer
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: long-context programs take minutes
+    to compile; cache survives process restarts (seqlen-warmup stages, bench
+    reruns)."""
+    import os
+
+    import jax as _jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
 from hyena_dna_tpu.utils.config import (
     apply_overrides,
     deep_merge,
