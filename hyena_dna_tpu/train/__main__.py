@@ -40,6 +40,17 @@ from hyena_dna_tpu.utils.config import (
 CONFIG_DIR = Path(__file__).resolve().parents[2] / "configs"
 
 
+def process_config(cfg):
+    """Drop interpolation-only keys (leading "__"), mirroring the
+    reference's `process_config` (`src/utils/train.py:56-96`)."""
+    if isinstance(cfg, dict):
+        return {k: process_config(v) for k, v in cfg.items()
+                if not (isinstance(k, str) and k.startswith("__"))}
+    if isinstance(cfg, list):
+        return [process_config(v) for v in cfg]
+    return cfg
+
+
 def build_config(argv):
     overrides = []
     experiment = None
@@ -54,7 +65,7 @@ def build_config(argv):
         cfg = deep_merge(cfg, exp)
     cfg = apply_overrides(cfg, overrides)
     cfg = resolve_interpolations(cfg)
-    return cfg
+    return process_config(cfg)
 
 
 def main(argv=None):
