@@ -120,11 +120,14 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            for b in range(start, nbatches):
-                if stop.is_set():
-                    return
-                q.put(self._make_batch(order, b))
-            q.put(None)
+            try:
+                for b in range(start, nbatches):
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(order, b))
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -133,6 +136,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 self.batches_served += 1
                 yield batch
         finally:

@@ -226,3 +226,20 @@ def test_loader_multihost_split_disjoint():
         for batch in dl:
             seen.extend(batch[1].tolist())
     assert sorted(seen) == list(range(32))  # disjoint cover
+
+
+def test_loader_propagates_worker_errors():
+    class _Boom:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx, rng=None):
+            if idx == 3:
+                raise ValueError("bad sample")
+            return np.zeros(2, np.int32), np.asarray(idx, np.int32)
+
+    dl = DataLoader(_Boom(), batch_size=2, shuffle=False,
+                    process_index=0, process_count=1)
+    with pytest.raises(ValueError, match="bad sample"):
+        for _ in dl:
+            pass
