@@ -80,14 +80,11 @@ def krylov_sequential(L: int, A: jax.Array, b: jax.Array, c: Optional[jax.Array]
     A: (..., N, N), b: (..., N) -> (..., N, L) (or (..., L) with c)."""
 
     def body(x, _):
-        out = jnp.einsum("...l,...nl->...n", x, A) if False else A @ x[..., None]
-        out = out[..., 0]
-        return out, (jnp.sum(c * x, axis=-1) if c is not None else x)
+        nxt = jnp.einsum("...ij,...j->...i", A, x)
+        return nxt, (jnp.sum(c * x, axis=-1) if c is not None else x)
 
     _, ys = jax.lax.scan(body, b, None, length=L)
-    if c is not None:
-        return jnp.moveaxis(ys, 0, -1)  # (..., L)
-    return jnp.moveaxis(ys, 0, -1)  # (..., N, L)
+    return jnp.moveaxis(ys, 0, -1)  # (..., L) with c, else (..., N, L)
 
 
 def krylov(L: int, A: jax.Array, b: jax.Array, c: Optional[jax.Array] = None,

@@ -1,0 +1,61 @@
+"""Long-context single-chip benchmark: train-step throughput at 450k / 1M.
+
+Run detached (compiles take >10 min):
+  nohup python scripts/bench_long_context.py > /tmp/bench_long.log 2>&1 &
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from hyena_dna_tpu.models import ConvLMHeadModel
+from hyena_dna_tpu.tasks import LMTask
+from hyena_dna_tpu.train import build_optimizer, create_train_state
+from hyena_dna_tpu.train.step import make_train_step
+from hyena_dna_tpu.utils.profiling import device_memory_stats
+
+
+def run(L, pallas, iters=5):
+    d, nl, B = 256, 8, 1
+    layer = dict(_name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
+                 l_max=L + 2, modulate=True, w=10, use_pallas_front=pallas)
+    model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
+                            pad_vocab_size_multiple=8, residual_in_fp32=True,
+                            layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
+                            dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, L), jnp.int32))["params"]
+    tx, _ = build_optimizer(params, lr=6e-4)
+    state = create_train_state(model, tx, rng, jnp.zeros((1, L), jnp.int32), params=params)
+    x = jnp.tile(jnp.asarray((np.arange(L) % 4 + 7), jnp.int32), (B, 1))
+    y = jnp.roll(x, -1, axis=1)
+    step = make_train_step(LMTask())
+    t0 = time.perf_counter()
+    state, m = step(state, (x, y), rng)
+    loss0 = float(m["loss"])
+    print(f"L={L} pallas={pallas}: compile+step1 {time.perf_counter()-t0:.0f}s "
+          f"loss {loss0:.3f}", flush=True)
+    print("  mem:", {k: f"{v/1e9:.2f}GB" for k, v in device_memory_stats().items()},
+          flush=True)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, (x, y), jax.random.PRNGKey(i))
+    loss = float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    print(f"L={L} pallas={pallas}: {dt*1e3:.0f} ms/step = {B*L/dt/1e6:.3f} M tok/s "
+          f"loss {loss:.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "450k"
+    if which == "450k":
+        run(450048, False)
+        run(450048, True)
+    elif which == "1m":
+        run(1000448, False)
+    print("DONE", flush=True)

@@ -146,3 +146,27 @@ def test_long_conv_block_fft_path():
     ref_params = {k: v for k, v in params.items() if not k.startswith("block_fft")}
     y_ref, _ = layer_ref.apply({"params": ref_params}, x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-3, rtol=1e-3)
+
+
+def test_krylov_sequential_matches_squaring():
+    rng = np.random.default_rng(6)
+    A = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32)) * 0.5
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(krylov_sequential(8, A, b)), np.asarray(krylov(8, A, b)),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(krylov_sequential(8, A, b, c=c)), np.asarray(krylov(8, A, b, c=c)),
+        atol=1e-4,
+    )
+
+
+def test_power_with_vector():
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.normal(size=(3, 3)).astype(np.float32)) * 0.5
+    v = jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+    out = power(6, A, v=v)
+    ref = np.linalg.matrix_power(np.asarray(A), 6) @ np.asarray(v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
