@@ -260,3 +260,24 @@ def test_masked_classification_end_to_end(tmp_path, tiny_benchmark):
     trainer = Trainer(cfg)
     final = trainer.fit()
     assert "test/accuracy" in final and np.isfinite(final["test/accuracy"])
+
+
+def test_fixed_len_val_datamodule(tmp_path, tiny_genome):
+    fa, bed = tiny_genome
+    from hyena_dna_tpu.data.datamodules import HG38DataModule
+
+    dm = HG38DataModule(bed_file=str(bed), fasta_file=str(fa), max_length=64,
+                        use_fixed_len_val=True, batch_size=2)
+    # tiny genome: point the fixed ranges inside it
+    dm.setup()
+    from hyena_dna_tpu.data.hg38 import HG38FixedDataset
+
+    dm.dataset_val = HG38FixedDataset(
+        fasta_file=str(fa), chr_ranges={"chr1": (0, 512)}, max_length=64,
+        tokenizer=dm.tokenizer, add_eos=True,
+    )
+    loader = dm.val_dataloader()
+    batches = list(loader)
+    assert len(batches) == 4  # 8 windows / batch 2
+    x, y = batches[0]
+    assert x.shape == (2, 64)
