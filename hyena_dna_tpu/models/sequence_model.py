@@ -354,6 +354,19 @@ class SequenceResidualBlock(fnn.Module):
             return self.pool_fn.d_output
         return self.d_residual
 
+    def step(self, x, state=None):
+        """Single-token recurrent step (`block.py:109-129`): norms apply
+        per-token; only layers implementing `step` are supported."""
+        y = x
+        if self.norm is not None and self.prenorm:
+            y = self.norm_fn(y)
+        y, state = self.inner.step(y, state)
+        if self.residual is not None:
+            y = self.residual_fn(x, y)
+        if self.norm is not None and not self.prenorm:
+            y = self.norm_fn(y)
+        return y, state
+
     def __call__(self, x, state=None, deterministic: bool = True, **kwargs):
         y = x
         if self.norm is not None and self.prenorm:
@@ -436,6 +449,17 @@ class SequenceModel(fnn.Module):
                 "metrics", "output_norms", jnp.stack(norms),
                 reduce_fn=lambda _, b: b,
             )
+        return x, next_states
+
+    def step(self, x, state=None):
+        """Recurrent step through the stack (`model.py:124-134`)."""
+        states = [None] * len(self.blocks) if state is None else state
+        next_states = []
+        for block, st in zip(self.blocks, states):
+            x, st = block.step(x, state=st)
+            next_states.append(st)
+        if self.prenorm and self.norm is not None:
+            x = self.norm_f(x)
         return x, next_states
 
     @property

@@ -430,4 +430,12 @@ class Trainer:
             targets = np.concatenate(all_targets)
             for name in self.task.host_metric_names:
                 result[f"{split}/{name}"] = float(M.HOST_METRIC_FNS[name](logits, targets))
+            # confusion matrix for small-cardinality classification (the
+            # reference logs it to wandb, callbacks/wandb.py:35-277)
+            n_cls = logits.shape[-1]
+            if logits.ndim == 2 and n_cls <= 32:
+                preds = logits.argmax(-1)
+                cm = np.zeros((n_cls, n_cls), dtype=int)
+                np.add.at(cm, (targets.reshape(-1), preds), 1)
+                result[f"{split}/confusion_matrix"] = cm.tolist()
         return result
