@@ -164,3 +164,14 @@ def test_fftconv_two_step_path_parity():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2, rtol=2e-3)
     finally:
         F.TWO_STEP_FFT_MIN = old
+
+
+def test_fftconv_chunk_size_math():
+    from hyena_dna_tpu.ops.fftconv import fftconv_chunk_size, next_fast_fft_size
+
+    # 450k context: fft 2^20, ~4MB/channel spectrum -> 32-channel chunks
+    assert next_fast_fft_size(2 * 450048) == 1 << 20
+    blk = fftconv_chunk_size(256, 450048)
+    assert 256 % blk == 0 and blk <= 64
+    # small L: no chunking
+    assert fftconv_chunk_size(256, 1024) == 256
