@@ -148,12 +148,19 @@ class HyenaOperator(fnn.Module):
         u = self.in_proj(u)  # (B, L, (o+1)d)
         u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
 
+        plain_3d = (
+            self.num_heads == 1
+            and self.num_blocks == 1
+            and self.inner_factor == 1
+            and not self.outer_mixing
+            and not self.post_order_ffn
+            and l == l_filter
+        )
+
         if seq_parallel:
-            assert self.num_heads == 1 and self.num_blocks == 1, (
+            assert plain_3d, (
                 "sequence-parallel Hyena supports heads=1, blocks=1 (the DNA configs)"
             )
-            assert not self.outer_mixing and not self.post_order_ffn
-            assert l == l_filter, "seq-parallel path requires l == l_filter"
             uc = seq_short_conv(
                 u,
                 self.short_filter_weight.astype(u.dtype),
@@ -161,7 +168,7 @@ class HyenaOperator(fnn.Module):
                 self.mesh,
                 seq_axis=self.seq_axis,
             )
-            return self._seq_parallel_tail(uc, l_filter, deterministic)
+            return self._tail_3d(uc, l_filter, deterministic, distributed=True)
 
         uc = short_conv_1d(
             u,
@@ -169,6 +176,11 @@ class HyenaOperator(fnn.Module):
             self.short_filter_bias.astype(u.dtype),
         )
         uc = uc[..., :l_filter]
+
+        if plain_3d:
+            # the DNA configs: stay in (B, C, L) — no head/block reshapes,
+            # chunked convs bound the FFT workspace at long L
+            return self._tail_3d(uc, l_filter, deterministic, distributed=False)
 
         # (B, heads, head_dim*(o+1), blocks, L)
         b = uc.shape[0]
@@ -266,11 +278,15 @@ class HyenaOperator(fnn.Module):
             return y, None
         return y
 
-    def _seq_parallel_tail(self, uc: jax.Array, l_filter: int, deterministic: bool):
-        """Gating + long-conv recurrence on (B, C, L) with L sequence-sharded.
+    def _tail_3d(
+        self, uc: jax.Array, l_filter: int, deterministic: bool, distributed: bool
+    ):
+        """Gating + long-conv recurrence on (B, C, L) (heads=1, blocks=1).
 
-        Math identical to the single-device path specialized to heads=1,
-        blocks=1; the long conv goes through the channel-pencil fftconv."""
+        distributed=True routes the conv through the sequence-sharded
+        channel-pencil kernel; otherwise the local channel-chunked conv."""
+        from hyena_dna_tpu.ops.fftconv import fftconv_chunked
+
         d = self.d_model * self.inner_factor
         o = self.order
         splits = jnp.split(uc, o + 1, axis=1)  # (o+1) x (B, d, L)
@@ -283,13 +299,18 @@ class HyenaOperator(fnn.Module):
 
         for i, x_i in enumerate(reversed(x[1:])):
             v = self.drop(v * x_i, deterministic=deterministic)
-            v = seq_fftconv(
-                v,
-                k[i].astype(jnp.float32),
-                bias[i].astype(jnp.float32),
-                self.mesh,
-                seq_axis=self.seq_axis,
-            ).astype(v.dtype)
+            if distributed:
+                v = seq_fftconv(
+                    v,
+                    k[i].astype(jnp.float32),
+                    bias[i].astype(jnp.float32),
+                    self.mesh,
+                    seq_axis=self.seq_axis,
+                ).astype(v.dtype)
+            else:
+                v = fftconv_chunked(
+                    v, k[i].astype(jnp.float32), bias[i].astype(jnp.float32), False
+                ).astype(v.dtype)
 
         y = v * x[0]
         y = jnp.swapaxes(y, -1, -2)  # (B, L, d)
