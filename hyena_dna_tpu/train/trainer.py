@@ -258,9 +258,22 @@ class Trainer:
         path = self.train_cfg.get("pretrained_model_path")
         if not path:
             return
-        from hyena_dna_tpu.train.checkpoint import restore_params_only
+        import os
 
-        pretrained = restore_params_only(path)
+        if str(path).endswith((".ckpt", ".pt")) or os.path.exists(
+            os.path.join(str(path), "weights.ckpt")
+        ):
+            # torch / LongSafari checkpoint: run the key-surgery importer
+            from hyena_dna_tpu.utils.torch_import import import_pretrained
+
+            f = str(path)
+            if os.path.isdir(f):
+                f = os.path.join(f, "weights.ckpt")
+            pretrained = import_pretrained(f)
+        else:
+            from hyena_dna_tpu.train.checkpoint import restore_params_only
+
+            pretrained = restore_params_only(path)
         hook_cfg = self.train_cfg.get("pretrained_model_state_hook") or {}
         if (hook_cfg.get("_name_") or "load_backbone") == "load_backbone":
             params, info = load_backbone_hook(

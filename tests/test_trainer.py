@@ -5,6 +5,8 @@ save/restore + backbone loading."""
 import json
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -281,3 +283,46 @@ def test_fixed_len_val_datamodule(tmp_path, tiny_genome):
     assert len(batches) == 4  # 8 windows / batch 2
     x, y = batches[0]
     assert x.shape == (2, 64)
+
+
+def test_load_backbone_from_torch_checkpoint(tmp_path, tiny_benchmark):
+    """pretrained_model_path can point at a torch .ckpt (key surgery runs)."""
+    import torch
+
+    from hyena_dna_tpu.models import DNAEmbeddingModel
+    from tests.test_torch_import import _flax_to_torch_sd
+
+    layer = {"_name_": "hyena", "emb_dim": 5, "filter_order": 16, "l_max": 34, "w": 10}
+    donor = DNAEmbeddingModel(d_model=32, n_layer=2, d_inner=128, vocab_size=12,
+                              pad_vocab_size_multiple=8, layer=dict(layer))
+    donor_params = donor.init(jax.random.PRNGKey(5), jnp.zeros((1, 32), jnp.int32))["params"]
+    sd = _flax_to_torch_sd(donor_params)
+    ckpt = tmp_path / "weights.ckpt"
+    torch.save({"state_dict": {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}},
+               ckpt)
+
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "torch_ft"),
+                  "pretrained_model_path": str(ckpt),
+                  "pretrained_model_state_hook": {"_name_": "load_backbone"}},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 1, "precision": "32"},
+        "dataset": {"_name_": "genomic_benchmark", "dataset_name": "toy_task",
+                    "dest_path": str(tiny_benchmark), "d_output": 2,
+                    "batch_size": 8, "max_length": 32},
+        "task": {"_name_": "multiclass", "loss": "cross_entropy"},
+        "model": {"_name_": "dna_embedding", "d_model": 32, "n_layer": 2,
+                  "d_inner": 128, "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": dict(layer)},
+        "decoder": {"_name_": "sequence", "mode": "pool", "l_output": 0},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {},
+    }
+    t = Trainer(cfg)
+    # verify backbone weights equal the donor's
+    from flax import traverse_util
+
+    flat_t = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, t.state.params))
+    flat_d = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, donor_params))
+    key = ("backbone", "embeddings", "word_embeddings", "embedding")
+    np.testing.assert_array_equal(flat_t[("backbone",) + key[1:]], flat_d[key])
