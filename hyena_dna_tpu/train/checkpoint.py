@@ -105,15 +105,27 @@ def load_backbone_hook(params: Dict, pretrained_params: Dict, freeze_backbone: b
     Returns (params, frozen_label_overrides) — the overrides mark backbone
     params "frozen" for the optimizer when freeze_backbone is set.
     """
+    def canonical(path):
+        """Collapse repeated leading 'backbone' wrappers: a fine-tune model
+        may nest DNAEmbeddingModel (itself rooted at 'backbone') under a
+        decoder wrapper's 'backbone' field."""
+        i = 0
+        while i + 1 < len(path) and path[i] == "backbone" and path[i + 1] == "backbone":
+            i += 1
+        return path[i:]
+
     flat = traverse_util.flatten_dict(params)
-    flat_pre = traverse_util.flatten_dict(pretrained_params)
+    flat_pre = {
+        canonical(p): v for p, v in traverse_util.flatten_dict(pretrained_params).items()
+    }
     loaded, skipped = 0, []
     for path in list(flat.keys()):
         if path[0] != "backbone":
             skipped.append("/".join(path))
             continue
-        if path in flat_pre:
-            src, dst = flat_pre[path], flat[path]
+        cpath = canonical(path)
+        if cpath in flat_pre:
+            src, dst = flat_pre[cpath], flat[path]
             assert np.shape(src) == np.shape(dst), (
                 f"shape mismatch at {'/'.join(path)}: {np.shape(src)} vs {np.shape(dst)}"
             )
@@ -121,6 +133,9 @@ def load_backbone_hook(params: Dict, pretrained_params: Dict, freeze_backbone: b
             loaded += 1
         else:
             skipped.append("/".join(path))
+    assert loaded > 0, (
+        "load_backbone matched NO tensors — checkpoint/model structure mismatch"
+    )
     params = traverse_util.unflatten_dict(flat)
     frozen = None
     if freeze_backbone:

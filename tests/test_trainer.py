@@ -325,4 +325,4 @@ def test_load_backbone_from_torch_checkpoint(tmp_path, tiny_benchmark):
     flat_t = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, t.state.params))
     flat_d = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, donor_params))
     key = ("backbone", "embeddings", "word_embeddings", "embedding")
-    np.testing.assert_array_equal(flat_t[("backbone",) + key[1:]], flat_d[key])
+    np.testing.assert_array_equal(flat_t[("backbone",) + key], flat_d[key])
