@@ -83,7 +83,7 @@ def run_bench(seq_len, d_model, n_layer, batch):
     )
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, seq_len), jnp.int32)
-    params = model.init(rng, sample)["params"]
+    params = jax.jit(model.init)(rng, sample)["params"]
     tx, _ = build_optimizer(params, lr=6e-4, weight_decay=0.1)
     state = create_train_state(model, tx, rng, sample, params=params)
 

@@ -41,7 +41,9 @@ def create_train_state(
 ) -> TrainState:
     """Initialize parameters (unless given) and optimizer state."""
     if params is None:
-        variables = model.init(rng, sample_input)
+        # jitted init: eager op-by-op init at long context is pathologically
+        # slow (and fragile) — compile the whole initializer
+        variables = jax.jit(model.init)(rng, sample_input)
         params = variables["params"]
     if isinstance(params, FrozenDict):
         params = params.unfreeze()

@@ -248,7 +248,7 @@ class Trainer:
         rng, init_rng = jax.random.split(self.rng)
         self.rng = rng
         sample = jnp.zeros(self._sample_batch_shape(), jnp.int32)
-        params = self.model.init(init_rng, sample)["params"]
+        params = jax.jit(self.model.init)(init_rng, sample)["params"]
         params = shard_params(params, self.mesh)
         tx, _ = build_optimizer(params, **self.tx_kwargs)
         state = create_train_state(self.model, tx, init_rng, sample, params=params)

@@ -32,7 +32,7 @@ def run(L, pallas, iters=5):
                             layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
                             dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, L), jnp.int32))["params"]
+    params = jax.jit(model.init)(rng, jnp.zeros((1, L), jnp.int32))["params"]
     tx, _ = build_optimizer(params, lr=6e-4)
     state = create_train_state(model, tx, rng, jnp.zeros((1, L), jnp.int32), params=params)
     x = jnp.tile(jnp.asarray((np.arange(L) % 4 + 7), jnp.int32), (B, 1))

@@ -1,0 +1,26 @@
+import sys, time
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax, jax.numpy as jnp
+import numpy as np
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+L, d = 450048, 256
+from hyena_dna_tpu.models import HyenaOperator
+op = HyenaOperator(d_model=d, l_max=L+2, filter_order=64,
+                   filter_cfg=dict(emb_dim=5, w=10), use_pallas_front=False,
+                   dtype=jnp.bfloat16)
+u = jnp.ones((1, L, d), jnp.bfloat16)
+t0 = time.perf_counter()
+params = jax.jit(op.init)(jax.random.PRNGKey(0), u)["params"]  # JITTED init
+jax.block_until_ready(params)
+print(f"jitted init OK {time.perf_counter()-t0:.0f}s", flush=True)
+t0 = time.perf_counter()
+try:
+    out = jax.jit(lambda p, u: op.apply({"params": p}, u).astype(jnp.float32).sum())(params, u)
+    jax.block_until_ready(out)
+    print(f"op fwd: OK {float(out):.3f} {time.perf_counter()-t0:.0f}s", flush=True)
+except Exception as e:
+    print(f"op fwd: FAIL {str(e)[:200]}", flush=True)
+print("ALLDONE", flush=True)
