@@ -61,4 +61,33 @@ if __name__ == "__main__":
         run(450048, True)
     elif which == "1m":
         run(1000448, False)
+    elif which == "1m_fwd":
+        run_fwd(1000448)
     print("DONE", flush=True)
+
+
+def run_fwd(L, iters=3):
+    """Inference-only forward at L (reference: 1M inference fits A100-40GB,
+    huggingface.py:145)."""
+    d, nl, B = 256, 8, 1
+    layer = dict(_name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
+                 l_max=L + 2, modulate=True, w=10)
+    model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
+                            pad_vocab_size_multiple=8, residual_in_fp32=True,
+                            layer=layer, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, jnp.zeros((1, L), jnp.int32))["params"]
+    x = jnp.tile(jnp.asarray((np.arange(L) % 4 + 7), jnp.int32), (B, 1))
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, deterministic=True)[0]
+                  .astype(jnp.float32).mean())
+    t0 = time.perf_counter()
+    out = fwd(params, x)
+    jax.block_until_ready(out)
+    print(f"L={L} fwd: compile+run1 {time.perf_counter()-t0:.0f}s out {float(out):.4f}",
+          flush=True)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"L={L} fwd: {dt*1e3:.0f} ms = {B*L/dt/1e6:.2f} M tok/s", flush=True)
