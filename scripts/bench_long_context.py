@@ -54,18 +54,6 @@ def run(L, pallas, iters=5):
           f"loss {loss:.3f}", flush=True)
 
 
-if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "450k"
-    if which == "450k":
-        run(450048, False)
-        run(450048, True)
-    elif which == "1m":
-        run(1000448, False)
-    elif which == "1m_fwd":
-        run_fwd(1000448)
-    print("DONE", flush=True)
-
-
 def run_fwd(L, iters=3):
     """Inference-only forward at L (reference: 1M inference fits A100-40GB,
     huggingface.py:145)."""
@@ -91,3 +79,15 @@ def run_fwd(L, iters=3):
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"L={L} fwd: {dt*1e3:.0f} ms = {B*L/dt/1e6:.2f} M tok/s", flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "450k"
+    if which == "450k":
+        run(450048, False)
+        run(450048, True)
+    elif which == "1m":
+        run(1000448, False)
+    elif which == "1m_fwd":
+        run_fwd(1000448)
+    print("DONE", flush=True)
