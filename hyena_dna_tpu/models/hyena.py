@@ -62,6 +62,11 @@ class HyenaOperator(fnn.Module):
     # ops/pallas_hyena.py. None = auto (on for TPU when shapes allow).
     use_pallas_front: Any = None
     pallas_interpret: bool = False
+    # finer-than-block rematerialization: checkpoint the projection/short-conv
+    # front separately so the backward of one block never holds the full
+    # (o+1)d-wide activation set at once — needed to FIT 1M-token training
+    # in single-chip HBM (the block-level remat alone peaks ~24 GB there)
+    inner_remat: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -139,15 +144,6 @@ class HyenaOperator(fnn.Module):
         seq_parallel = (
             self.mesh is not None and self.mesh.shape.get(self.seq_axis, 1) > 1
         )
-
-        if not seq_parallel:
-            fused = self._try_pallas_front(u, l, l_filter, deterministic)
-            if fused is not None:
-                return fused
-
-        u = self.in_proj(u)  # (B, L, (o+1)d)
-        u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
-
         plain_3d = (
             self.num_heads == 1
             and self.num_blocks == 1
@@ -156,6 +152,18 @@ class HyenaOperator(fnn.Module):
             and not self.post_order_ffn
             and l == l_filter
         )
+
+        if not seq_parallel:
+            fused = self._try_pallas_front(u, l, l_filter, deterministic)
+            if fused is not None:
+                return fused
+
+        if plain_3d and not seq_parallel and self.inner_remat and not self.is_initializing():
+            uc = self._front_3d(u)[..., :l_filter]
+            return self._tail_3d(uc, l_filter, deterministic, distributed=False)
+
+        u = self.in_proj(u)  # (B, L, (o+1)d)
+        u = jnp.swapaxes(u, -1, -2)  # (B, (o+1)d, L)
 
         if seq_parallel:
             assert plain_3d, (
@@ -181,6 +189,23 @@ class HyenaOperator(fnn.Module):
             # the DNA configs: stay in (B, C, L) — no head/block reshapes,
             # chunked convs bound the FFT workspace at long L
             return self._tail_3d(uc, l_filter, deterministic, distributed=False)
+
+    def _front_3d(self, u: jax.Array) -> jax.Array:
+        """proj -> transpose -> short conv on (B, L, d) -> (B, (o+1)d, L),
+        optionally under its own jax.checkpoint (inner_remat)."""
+        w = self.in_proj.variables["params"]["kernel"]
+        b = self.in_proj.variables["params"]["bias"]
+        wsf = self.short_filter_weight
+        bsf = self.short_filter_bias
+
+        def front(u, w, b, wsf, bsf):
+            proj = (u @ w.astype(u.dtype)) + b.astype(u.dtype)
+            proj = jnp.swapaxes(proj, -1, -2)
+            return short_conv_1d(proj, wsf.astype(u.dtype), bsf.astype(u.dtype))
+
+        if self.inner_remat:
+            front = jax.checkpoint(front)
+        return front(u, w, b, wsf, bsf)
 
         # (B, heads, head_dim*(o+1), blocks, L)
         b = uc.shape[0]

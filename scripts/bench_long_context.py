@@ -23,10 +23,11 @@ from hyena_dna_tpu.train.step import make_train_step
 from hyena_dna_tpu.utils.profiling import device_memory_stats
 
 
-def run(L, pallas, iters=5):
+def run(L, pallas, iters=5, inner_remat=False):
     d, nl, B = 256, 8, 1
     layer = dict(_name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
-                 l_max=L + 2, modulate=True, w=10, use_pallas_front=pallas)
+                 l_max=L + 2, modulate=True, w=10, use_pallas_front=pallas,
+                 inner_remat=inner_remat)
     model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
                             pad_vocab_size_multiple=8, residual_in_fp32=True,
                             layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
@@ -90,4 +91,6 @@ if __name__ == "__main__":
         run(1000448, False)
     elif which == "1m_fwd":
         run_fwd(1000448)
+    elif which == "1m_remat":
+        run(1000448, False, inner_remat=True)
     print("DONE", flush=True)

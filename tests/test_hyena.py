@@ -136,3 +136,27 @@ def test_hyena_operator_grads_finite():
         if not bool(jnp.any(v != 0))
     ]
     assert len(zero_names) == 0, f"zero grads: {zero_names}"
+
+
+def test_inner_remat_parity():
+    """inner_remat changes memory scheduling, not math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyena_dna_tpu.models import HyenaOperator
+
+    kw = dict(d_model=16, l_max=64, filter_order=16, filter_cfg=dict(emb_dim=5),
+              use_pallas_front=False)
+    op_a = HyenaOperator(**kw)
+    op_b = HyenaOperator(**kw, inner_remat=True)
+    rng = jax.random.PRNGKey(0)
+    u = jax.random.normal(rng, (2, 64, 16))
+    params = op_a.init(rng, u)["params"]
+    y_a = op_a.apply({"params": params}, u)
+    y_b = op_b.apply({"params": params}, u)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(y_a), atol=1e-5)
+    g_a = jax.grad(lambda p: jnp.sum(op_a.apply({"params": p}, u) ** 2))(params)
+    g_b = jax.grad(lambda p: jnp.sum(op_b.apply({"params": p}, u) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_a), jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4)
