@@ -95,10 +95,11 @@ def run_bench(seq_len, d_model, n_layer, batch):
     y = jnp.roll(x, -1, axis=1)
     step = make_train_step(LMTask())
 
-    # warmup/compile + steady-state settling
+    # warmup/compile + steady-state settling; float() forces a device->host
+    # readback (block_until_ready alone can be a no-op on tunneled backends)
     for i in range(3 if backend != "cpu" else 1):
         state, m = step(state, (x, y), jax.random.PRNGKey(i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     # best-of-3 windows to damp shared-chip interference
     iters = 10 if backend != "cpu" else 3
@@ -108,7 +109,7 @@ def run_bench(seq_len, d_model, n_layer, batch):
         t0 = time.perf_counter()
         for i in range(iters):
             state, m = step(state, (x, y), jax.random.PRNGKey(i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])  # hard sync
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     tokens_per_sec = batch * seq_len * iters / best_dt
