@@ -91,25 +91,28 @@ def run_bench(seq_len, d_model, n_layer, batch):
     tx, _ = build_optimizer(params, lr=6e-4, weight_decay=0.1)
     state = create_train_state(model, tx, rng, sample, params=params)
 
+    from hyena_dna_tpu.train.step import make_multistep_train_step
+
     x = jnp.asarray(np.tile((np.arange(seq_len) % 4 + 7).astype(np.int32), (batch, 1)))
     y = jnp.roll(x, -1, axis=1)
-    step = make_train_step(LMTask())
 
-    # warmup/compile + steady-state settling; float() forces a device->host
-    # readback (block_until_ready alone can be a no-op on tunneled backends)
-    for i in range(3 if backend != "cpu" else 1):
-        state, m = step(state, (x, y), jax.random.PRNGKey(i))
-    float(m["loss"])
+    # K steps per dispatch (lax.scan inside one executable) so the number
+    # measures device throughput, not per-dispatch tunnel latency; float()
+    # forces a device->host readback as the hard sync
+    iters = 10 if backend != "cpu" else 2
+    step = make_multistep_train_step(LMTask(), steps_per_call=iters)
+    xs = jnp.broadcast_to(x, (iters, *x.shape))
+    ys = jnp.broadcast_to(y, (iters, *y.shape))
 
-    # best-of-3 windows to damp shared-chip interference
-    iters = 10 if backend != "cpu" else 3
+    state, m = step(state, (xs, ys), jax.random.PRNGKey(0))  # compile+warm
+    float(m["loss"][-1])
+
     windows = 3 if backend != "cpu" else 1
     best_dt = float("inf")
     for w in range(windows):
         t0 = time.perf_counter()
-        for i in range(iters):
-            state, m = step(state, (x, y), jax.random.PRNGKey(i))
-        float(m["loss"])  # hard sync
+        state, m = step(state, (xs, ys), jax.random.PRNGKey(w))
+        float(m["loss"][-1])  # hard sync
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     tokens_per_sec = batch * seq_len * iters / best_dt

@@ -250,3 +250,37 @@ def test_launch_helpers_single_process():
     assert is_main_process()
     barrier()
     assert all_reduce_scalar(2.5) == 2.5
+
+
+def test_multistep_matches_sequential_steps():
+    from hyena_dna_tpu.train.step import make_multistep_train_step
+
+    model_nd = ConvLMHeadModel(
+        d_model=16, n_layer=2, d_inner=64, vocab_size=12,
+        pad_vocab_size_multiple=8, layer=dict(LAYER_CFG), embed_dropout=0.0,
+    )
+    s_seq = make_state(model_nd, seed=9)
+    s_multi = make_state(model_nd, seed=9)
+
+    rng = np.random.default_rng(4)
+    batches = [_rand_batch(rng, b=4) for _ in range(4)]
+    key = jax.random.PRNGKey(11)
+
+    step = make_train_step(LMTask())
+    keys = jax.random.split(key, 4)
+    for i, b in enumerate(batches):
+        s_seq, m_seq = step(s_seq, b, keys[i])
+
+    mstep = make_multistep_train_step(LMTask(), steps_per_call=4)
+    xs = jnp.stack([b[0] for b in batches])
+    ys = jnp.stack([b[1] for b in batches])
+    s_multi, m_multi = mstep(s_multi, (xs, ys), key)
+    assert m_multi["loss"].shape == (4,)
+    np.testing.assert_allclose(
+        float(m_multi["loss"][-1]), float(m_seq["loss"]), atol=1e-5
+    )
+    flat_a = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, s_seq.params))
+    flat_b = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, s_multi.params))
+    for path in flat_a:
+        np.testing.assert_allclose(flat_a[path], flat_b[path], atol=3e-5,
+                                   err_msg=str(path))
