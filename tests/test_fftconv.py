@@ -175,3 +175,25 @@ def test_fftconv_chunk_size_math():
     assert 256 % blk == 0 and blk <= 64
     # small L: no chunking
     assert fftconv_chunk_size(256, 1024) == 256
+
+
+def test_fftconv_mxu_matches_reference():
+    from hyena_dna_tpu.ops.fftconv import fftconv_mxu
+
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(size=(2, 8, 128)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(8, 128)).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref = fftconv(u, k, D, False)
+    out = fftconv_mxu(u, k, D, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
+
+
+def test_fft_matmul_roundtrip():
+    from hyena_dna_tpu.ops.fftconv import fft_matmul, ifft_matmul
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(3, 200)).astype(np.float32))
+    back = ifft_matmul(fft_matmul(x, 512), 512)
+    np.testing.assert_allclose(np.asarray(back.real[..., :200]), np.asarray(x),
+                               atol=1e-4)
