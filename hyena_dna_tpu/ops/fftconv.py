@@ -44,6 +44,18 @@ def next_fast_fft_size(n: int) -> int:
     return max(16, 1 << (n - 1).bit_length())
 
 
+# Above this transform size on TPU, the MXU matmul-FFT (see fftconv_mxu
+# below) beats the native VPU FFT (~1.7x measured at n=2^16..2^18 on v5e).
+MATMUL_FFT_MIN = 1 << 16
+
+
+def _use_mxu_fft(n: int) -> bool:
+    try:
+        return n >= MATMUL_FFT_MIN and jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _rfft(x: jax.Array, n: int) -> jax.Array:
     """rfft over the last axis, computed on a 2D view.
 
@@ -133,7 +145,12 @@ def fftconv_ref(
     else:
         u_in = u.astype(fft_dtype)
 
-    if (
+    if not bidirectional and k_rev is None and _use_mxu_fft(fft_size):
+        # MXU path: DFT-matmul transforms (permuted bin order cancels)
+        u_f2 = fft_matmul(u_in, fft_size)
+        k_f2 = fft_matmul(k.astype(fft_dtype), fft_size)
+        y = ifft_matmul(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
+    elif (
         fft_size >= TWO_STEP_FFT_MIN
         and not bidirectional
         and k_rev is None
@@ -178,7 +195,7 @@ def _fftconv_bwd(gelu, res, dy):
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
-    if fft_size >= TWO_STEP_FFT_MIN:
+    if _use_mxu_fft(fft_size) or fft_size >= TWO_STEP_FFT_MIN:
         return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
     u_f = _rfft(u.astype(f32), n=fft_size)
@@ -386,30 +403,33 @@ def fftconv_long(u: jax.Array, k: jax.Array, D: jax.Array, n: int) -> jax.Array:
 
 
 def _fftconv_bwd_long(gelu, res, dy, fft_size):
-    """Backward via the permuted-order two-step transform (conjugation works
-    bin-wise in any consistent ordering)."""
+    """Backward via a permuted-order blocked transform (conjugation works
+    bin-wise in any consistent ordering): MXU matmul-FFT on TPU, two-step
+    FFT otherwise."""
     u, k, D = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
-    u_f = fft_2step(u.astype(f32), fft_size)
-    k_f = fft_2step(k.astype(f32), fft_size)
+    fwd_t = fft_matmul if _use_mxu_fft(fft_size) else fft_2step
+    inv_t = ifft_matmul if _use_mxu_fft(fft_size) else ifft_2step
+    u_f = fwd_t(u.astype(f32), fft_size)
+    k_f = fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
     D_arr = jnp.asarray(D)
     D_full = D_arr.astype(f32)[..., None]
 
     dy = dy.astype(f32)
     if gelu:
-        pre = ifft_2step(u_f * k_f_b, fft_size).real[..., :seqlen]
+        pre = inv_t(u_f * k_f_b, fft_size).real[..., :seqlen]
         pre = pre + u.astype(f32) * D_full
         inv_sqrt2 = 1.0 / math.sqrt(2.0)
         cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
         pdf = jnp.exp(-0.5 * pre * pre) / math.sqrt(2.0 * math.pi)
         dy = dy * (cdf + pre * pdf)
 
-    dy_f = fft_2step(dy, fft_size)
-    du = ifft_2step(dy_f * k_f_b.conj(), fft_size).real[..., :seqlen]
+    dy_f = fwd_t(dy, fft_size)
+    du = inv_t(dy_f * k_f_b.conj(), fft_size).real[..., :seqlen]
     du = du + dy * D_full
-    dk_full = ifft_2step(dy_f * u_f.conj(), fft_size).real[..., :seqlen]
+    dk_full = inv_t(dy_f * u_f.conj(), fft_size).real[..., :seqlen]
     k_b_shape = _expand_k(k, u.ndim).shape
     dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
