@@ -183,14 +183,50 @@ def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax
     return fftconv_ref(u, k, D, gelu=gelu)
 
 
+# Save forward spectra for the backward pass when they fit comfortably in
+# HBM (complex64 bytes); above this, recompute them (the right trade at
+# very long L where spectra would dominate memory).
+SAVE_SPECTRA_MAX_BYTES = 1 << 30
+
+
+def _spectrum_nbytes(shape, fft_size):
+    import numpy as _np
+
+    return int(_np.prod(shape[:-1])) * fft_size * 8
+
+
 def _fftconv_fwd(u, k, D, gelu):
-    y = fftconv_ref(u, k, D, gelu=gelu)
-    # Save the small real inputs; recompute spectra in the backward pass.
-    return y, (u, k, D)
+    seqlen = u.shape[-1]
+    fft_size = next_fast_fft_size(2 * seqlen)
+    save = (
+        _spectrum_nbytes(u.shape, fft_size) + _spectrum_nbytes(k.shape, fft_size)
+        <= SAVE_SPECTRA_MAX_BYTES
+    )
+    f32 = jnp.float32
+    if _use_mxu_fft(fft_size):
+        u_f = fft_matmul(u.astype(f32), fft_size)
+        k_f = fft_matmul(k.astype(f32), fft_size)
+        inv = ifft_matmul
+        y = inv(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
+    elif fft_size >= TWO_STEP_FFT_MIN:
+        u_f = fft_2step(u.astype(f32), fft_size)
+        k_f = fft_2step(k.astype(f32), fft_size)
+        y = ifft_2step(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
+    else:
+        u_f = _rfft(u.astype(f32), n=fft_size)
+        k_f = _rfft(k.astype(f32), n=fft_size)
+        y = _irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
+    if D is not None:
+        y = y + u.astype(f32) * jnp.asarray(D, f32)[..., None]
+    if gelu:
+        y = jax.nn.gelu(y, approximate=False)
+    y = y.astype(u.dtype)
+    res = (u, k, D, u_f if save else None, k_f if save else None)
+    return y, res
 
 
 def _fftconv_bwd(gelu, res, dy):
-    u, k, D = res
+    u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
@@ -198,8 +234,8 @@ def _fftconv_bwd(gelu, res, dy):
     if _use_mxu_fft(fft_size) or fft_size >= TWO_STEP_FFT_MIN:
         return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
-    u_f = _rfft(u.astype(f32), n=fft_size)
-    k_f = _rfft(k.astype(f32), n=fft_size)
+    u_f = u_f_saved if u_f_saved is not None else _rfft(u.astype(f32), n=fft_size)
+    k_f = k_f_saved if k_f_saved is not None else _rfft(k.astype(f32), n=fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
 
     D_arr = jnp.asarray(D)
@@ -406,13 +442,13 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     """Backward via a permuted-order blocked transform (conjugation works
     bin-wise in any consistent ordering): MXU matmul-FFT on TPU, two-step
     FFT otherwise."""
-    u, k, D = res
+    u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
     fwd_t = fft_matmul if _use_mxu_fft(fft_size) else fft_2step
     inv_t = ifft_matmul if _use_mxu_fft(fft_size) else ifft_2step
-    u_f = fwd_t(u.astype(f32), fft_size)
-    k_f = fwd_t(k.astype(f32), fft_size)
+    u_f = u_f_saved if u_f_saved is not None else fwd_t(u.astype(f32), fft_size)
+    k_f = k_f_saved if k_f_saved is not None else fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
     D_arr = jnp.asarray(D)
     D_full = D_arr.astype(f32)[..., None]
