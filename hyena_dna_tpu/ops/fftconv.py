@@ -44,14 +44,20 @@ def next_fast_fft_size(n: int) -> int:
     return max(16, 1 << (n - 1).bit_length())
 
 
-# Above this transform size on TPU, the MXU matmul-FFT (see fftconv_mxu
-# below) beats the native VPU FFT (~1.7x measured at n=2^16..2^18 on v5e).
+# On TPU, the MXU matmul-FFT (see fftconv_mxu below) beats the native VPU
+# FFT (~1.7x measured at n=2^16..2^18 on v5e) but carries full-complex
+# spectra (2x the rfft memory): use it in a bounded size window; above the
+# window the half-spectrum rfft path is the memory-safe choice at long L.
 MATMUL_FFT_MIN = 1 << 16
+MATMUL_FFT_MAX = 1 << 19  # exclusive
 
 
 def _use_mxu_fft(n: int) -> bool:
     try:
-        return n >= MATMUL_FFT_MIN and jax.default_backend() == "tpu"
+        return (
+            MATMUL_FFT_MIN <= n < MATMUL_FFT_MAX
+            and jax.default_backend() == "tpu"
+        )
     except Exception:
         return False
 
@@ -183,10 +189,11 @@ def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax
     return fftconv_ref(u, k, D, gelu=gelu)
 
 
-# Save forward spectra for the backward pass when they fit comfortably in
-# HBM (complex64 bytes); above this, recompute them (the right trade at
-# very long L where spectra would dominate memory).
-SAVE_SPECTRA_MAX_BYTES = 1 << 30
+# Save forward spectra for the backward pass when below this size.
+# Disabled by default: measured no speedup at the bench shape (XLA already
+# schedules the recompute well), and saved residuals STACK across the
+# channel-chunk scan at long L, inflating memory (41 GB at 450k).
+SAVE_SPECTRA_MAX_BYTES = 0
 
 
 def _spectrum_nbytes(shape, fft_size):
