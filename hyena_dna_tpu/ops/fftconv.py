@@ -46,20 +46,28 @@ def next_fast_fft_size(n: int) -> int:
 
 # On TPU, the MXU matmul-FFT (see fftconv_mxu below) beats the native VPU
 # FFT (~1.7x measured at n=2^16..2^18 on v5e) but carries full-complex
-# spectra (2x the rfft memory): use it in a bounded size window; above the
-# window the half-spectrum rfft path is the memory-safe choice at long L.
+# spectra (2x the rfft memory): gate by transform size AND by the working
+# set (rows x n complex64 across ~4 live buffers) so the channel-chunked
+# long-context path can still use the MXU with small chunks.
 MATMUL_FFT_MIN = 1 << 16
-MATMUL_FFT_MAX = 1 << 19  # exclusive
+MXU_FFT_BUDGET_BYTES = 1 << 31  # ~2 GB working set
 
 
-def _use_mxu_fft(n: int) -> bool:
+def _use_mxu_fft(n: int, rows: int = 1) -> bool:
     try:
         return (
-            MATMUL_FFT_MIN <= n < MATMUL_FFT_MAX
+            n >= MATMUL_FFT_MIN
+            and 4 * rows * n * 8 <= MXU_FFT_BUDGET_BYTES
             and jax.default_backend() == "tpu"
         )
     except Exception:
         return False
+
+
+def _rows(shape) -> int:
+    import numpy as _np
+
+    return int(_np.prod(shape[:-1])) if len(shape) > 1 else 1
 
 
 def _rfft(x: jax.Array, n: int) -> jax.Array:
@@ -151,7 +159,7 @@ def fftconv_ref(
     else:
         u_in = u.astype(fft_dtype)
 
-    if not bidirectional and k_rev is None and _use_mxu_fft(fft_size):
+    if not bidirectional and k_rev is None and _use_mxu_fft(fft_size, _rows(u.shape)):
         # MXU path: DFT-matmul transforms (permuted bin order cancels)
         u_f2 = fft_matmul(u_in, fft_size)
         k_f2 = fft_matmul(k.astype(fft_dtype), fft_size)
@@ -210,7 +218,7 @@ def _fftconv_fwd(u, k, D, gelu):
         <= SAVE_SPECTRA_MAX_BYTES
     )
     f32 = jnp.float32
-    if _use_mxu_fft(fft_size):
+    if _use_mxu_fft(fft_size, _rows(u.shape)):
         u_f = fft_matmul(u.astype(f32), fft_size)
         k_f = fft_matmul(k.astype(f32), fft_size)
         inv = ifft_matmul
@@ -238,7 +246,7 @@ def _fftconv_bwd(gelu, res, dy):
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
-    if _use_mxu_fft(fft_size) or fft_size >= TWO_STEP_FFT_MIN:
+    if _use_mxu_fft(fft_size, _rows(u.shape)) or fft_size >= TWO_STEP_FFT_MIN:
         return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
     u_f = u_f_saved if u_f_saved is not None else _rfft(u.astype(f32), n=fft_size)
@@ -328,7 +336,7 @@ def fftconv_h3(
 # ---------------------------------------------------------------------------
 
 
-def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int = 1 << 29) -> int:
+def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int = 1 << 28) -> int:
     """Channels per chunk so one chunk's complex spectrum stays under
     ~budget_bytes. At 1M context the full-width (C=256) conv needs several
     GB of f32 FFT workspace (the 450k single-chip OOM); chunking trades a
@@ -452,8 +460,9 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
-    fwd_t = fft_matmul if _use_mxu_fft(fft_size) else fft_2step
-    inv_t = ifft_matmul if _use_mxu_fft(fft_size) else ifft_2step
+    mxu = _use_mxu_fft(fft_size, _rows(u.shape))
+    fwd_t = fft_matmul if mxu else fft_2step
+    inv_t = ifft_matmul if mxu else ifft_2step
     u_f = u_f_saved if u_f_saved is not None else fwd_t(u.astype(f32), fft_size)
     k_f = k_f_saved if k_f_saved is not None else fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)

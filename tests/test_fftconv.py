@@ -216,7 +216,7 @@ def test_fftconv_mxu_path_parity_fwd_bwd():
                      argnums=(0, 1, 2))(u, k, D)
     old_min, old_use = F.MATMUL_FFT_MIN, F._use_mxu_fft
     F.MATMUL_FFT_MIN = 1024
-    F._use_mxu_fft = lambda n: n >= 1024  # ignore backend gate for the test
+    F._use_mxu_fft = lambda n, rows=1: n >= 1024  # ignore backend gate for the test
     try:
         y = F.fftconv(u, k, D, False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
