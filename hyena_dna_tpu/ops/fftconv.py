@@ -50,7 +50,7 @@ def next_fast_fft_size(n: int) -> int:
 # set (rows x n complex64 across ~4 live buffers) so the channel-chunked
 # long-context path can still use the MXU with small chunks.
 MATMUL_FFT_MIN = 1 << 16
-MXU_FFT_BUDGET_BYTES = 1 << 31  # ~2 GB working set
+MXU_FFT_BUDGET_BYTES = 3 << 30  # ~3 GB working set
 
 
 def _use_mxu_fft(n: int, rows: int = 1) -> bool:
