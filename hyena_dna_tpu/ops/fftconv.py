@@ -210,6 +210,16 @@ def _spectrum_nbytes(shape, fft_size):
     return int(_np.prod(shape[:-1])) * fft_size * 8
 
 
+def _packed_eligible(u, k, fft_size):
+    return (
+        _use_mxu_fft(fft_size, _rows(u.shape))
+        and u.ndim == 3
+        and k.ndim == 2
+        and u.shape[-2] == k.shape[-2]
+        and u.shape[-2] % 2 == 0
+    )
+
+
 def _fftconv_fwd(u, k, D, gelu):
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
@@ -218,6 +228,9 @@ def _fftconv_fwd(u, k, D, gelu):
         <= SAVE_SPECTRA_MAX_BYTES
     )
     f32 = jnp.float32
+    if _packed_eligible(u, k, fft_size):
+        y = fftconv_mxu_packed(u, k, D, gelu)
+        return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
         u_f = fft_matmul(u.astype(f32), fft_size)
         k_f = fft_matmul(k.astype(f32), fft_size)
@@ -246,6 +259,8 @@ def _fftconv_bwd(gelu, res, dy):
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
+    if not gelu and _packed_eligible(u, k, fft_size):
+        return _fftconv_bwd_packed(res, dy, fft_size)
     if _use_mxu_fft(fft_size, _rows(u.shape)) or fft_size >= TWO_STEP_FFT_MIN:
         return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
@@ -568,3 +583,96 @@ def fftconv_mxu(u: jax.Array, k: jax.Array, D, gelu: bool = False) -> jax.Array:
     if gelu:
         y = jax.nn.gelu(y, approximate=False)
     return y.astype(u.dtype)
+
+
+# ---------------------------------------------------------------------------
+# real-FFT channel packing for the MXU path: two real channels ride one
+# complex transform (classic a+ib trick), halving matmul-FFT work.
+# ---------------------------------------------------------------------------
+
+
+def _conj_perm(n: int) -> jnp.ndarray:
+    """Index array mapping each spectrum position (permuted layout) to the
+    position holding bin (-nu mod n). Layout: position p*m+q stores bin
+    nu = q*r + p (see fft_matmul)."""
+    import numpy as _np
+
+    r, m = _split_rm(n)
+    p = _np.arange(r)[:, None]
+    q = _np.arange(m)[None, :]
+    # p > 0: -nu at (r-p, m-1-q); p == 0: -nu at (0, (m-q) % m)
+    p2 = _np.where(p > 0, r - p, 0)
+    q2 = _np.where(p > 0, m - 1 - q, (m - q) % m)
+    return jnp.asarray((p2 * m + q2).reshape(-1))
+
+
+def _unpack_pair(Z: jax.Array, perm: jnp.ndarray):
+    """Spectrum of (a + i b) -> spectra of real a and b."""
+    Zc = jnp.conj(jnp.take(Z, perm, axis=-1))
+    A = 0.5 * (Z + Zc)
+    Bv = -0.5j * (Z - Zc)
+    return A, Bv
+
+
+def fftconv_mxu_packed(u: jax.Array, k: jax.Array, D, gelu: bool = False) -> jax.Array:
+    """Causal conv on the MXU with channel-pair packing (C must be even):
+    1.5 C/2-row transforms instead of 3 C-row ones — ~2x less transform
+    work on the dominant cost."""
+    seqlen = u.shape[-1]
+    c = u.shape[-2]
+    assert c % 2 == 0, "packed path needs an even channel count"
+    n = next_fast_fft_size(2 * seqlen)
+    h = c // 2
+    f32 = jnp.float32
+    perm = _conj_perm(n)
+
+    zu = u[..., :h, :].astype(f32) + 1j * u[..., h:, :].astype(f32)
+    zk = k[..., :h, :].astype(f32) + 1j * k[..., h:, :].astype(f32)
+    Zu = fft_matmul(zu, n)
+    Zk = fft_matmul(zk, n)
+    UA, UB = _unpack_pair(Zu, perm)
+    KA, KB = _unpack_pair(Zk, perm)
+    YA = UA * _expand_k(KA, u.ndim)
+    YB = UB * _expand_k(KB, u.ndim)
+    W = YA + 1j * YB
+    yw = ifft_matmul(W, n)[..., :seqlen]
+    y = jnp.concatenate([yw.real, yw.imag], axis=-2)
+    if D is not None:
+        y = y + u.astype(f32) * jnp.asarray(D, f32)[..., None]
+    if gelu:
+        y = jax.nn.gelu(y, approximate=False)
+    return y.astype(u.dtype)
+
+
+def _fftconv_bwd_packed(res, dy, fft_size):
+    """Backward with channel-pair packing (no-gelu 3D case): 5 transforms of
+    C/2 rows instead of 5 of C."""
+    u, k, D, _, _ = res
+    seqlen = u.shape[-1]
+    c = u.shape[-2]
+    h = c // 2
+    f32 = jnp.float32
+    perm = _conj_perm(fft_size)
+
+    def pack(x):
+        return x[..., :h, :].astype(f32) + 1j * x[..., h:, :].astype(f32)
+
+    UA, UB = _unpack_pair(fft_matmul(pack(u), fft_size), perm)
+    KA, KB = _unpack_pair(fft_matmul(pack(k), fft_size), perm)
+    dy = dy.astype(f32)
+    DA, DB = _unpack_pair(fft_matmul(pack(dy), fft_size), perm)
+
+    D_arr = jnp.asarray(D)
+    D_full = D_arr.astype(f32)[..., None]
+
+    W_du = DA * jnp.conj(KA) + 1j * (DB * jnp.conj(KB))
+    duw = ifft_matmul(W_du, fft_size)[..., :seqlen]
+    du = jnp.concatenate([duw.real, duw.imag], axis=-2) + dy * D_full
+
+    W_dk = DA * jnp.conj(UA) + 1j * (DB * jnp.conj(UB))
+    dkw = ifft_matmul(W_dk, fft_size)[..., :seqlen]
+    dk_full = jnp.concatenate([dkw.real, dkw.imag], axis=-2)
+    dk = _reduce_to_shape(dk_full, k.shape).reshape(k.shape)
+
+    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)

@@ -228,3 +228,46 @@ def test_fftconv_mxu_path_parity_fwd_bwd():
                                        atol=5e-2, rtol=5e-3, err_msg=name)
     finally:
         F.MATMUL_FFT_MIN, F._use_mxu_fft = old_min, old_use
+
+
+def test_fftconv_mxu_packed_matches_reference():
+    from hyena_dna_tpu.ops.fftconv import fftconv_mxu_packed
+
+    rng = np.random.default_rng(15)
+    for shape in ((2, 8, 128), (1, 16, 200)):
+        u = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        k = jnp.asarray((rng.normal(size=shape[1:]) * 0.05).astype(np.float32))
+        D = jnp.asarray(rng.normal(size=(shape[1],)).astype(np.float32))
+        ref = fftconv(u, k, D, False)
+        out = fftconv_mxu_packed(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3, err_msg=str(shape))
+
+
+def test_fftconv_packed_path_fwd_bwd_parity():
+    """Force the packed MXU path through the custom VJP; fwd+grad parity."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    rng = np.random.default_rng(16)
+    u = jnp.asarray(rng.normal(size=(2, 8, 512)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(8, 512)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref_y = F.fftconv(u, k, D, False)
+    ref_g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+    old = F._use_mxu_fft
+    F._use_mxu_fft = lambda n, rows=1: n >= 256
+    try:
+        y = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=2e-3, rtol=1e-3)
+        g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+        for a, b, name in zip(g, ref_g, ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+    finally:
+        F._use_mxu_fft = old
