@@ -210,9 +210,17 @@ def _spectrum_nbytes(shape, fft_size):
     return int(_np.prod(shape[:-1])) * fft_size * 8
 
 
+# Channel-pair packing halves matmul-FFT rows but pays two conjugate-bin
+# GATHERS per unpack; measured net-negative on v5e (194k vs 227k tok/s at
+# the bench shape) — disabled by default, kept as an experiment (a future
+# Pallas unpack kernel could recover the win).
+ENABLE_PACKED_MXU = False
+
+
 def _packed_eligible(u, k, fft_size):
     return (
-        _use_mxu_fft(fft_size, _rows(u.shape))
+        ENABLE_PACKED_MXU
+        and _use_mxu_fft(fft_size, _rows(u.shape))
         and u.ndim == 3
         and k.ndim == 2
         and u.shape[-2] == k.shape[-2]

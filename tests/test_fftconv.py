@@ -259,7 +259,9 @@ def test_fftconv_packed_path_fwd_bwd_parity():
     ref_g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
                      argnums=(0, 1, 2))(u, k, D)
     old = F._use_mxu_fft
+    old_packed = F.ENABLE_PACKED_MXU
     F._use_mxu_fft = lambda n, rows=1: n >= 256
+    F.ENABLE_PACKED_MXU = True
     try:
         y = F.fftconv(u, k, D, False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
@@ -271,3 +273,4 @@ def test_fftconv_packed_path_fwd_bwd_parity():
                                        atol=5e-2, rtol=5e-3, err_msg=name)
     finally:
         F._use_mxu_fft = old
+        F.ENABLE_PACKED_MXU = old_packed
