@@ -295,10 +295,13 @@ def _fftconv_bwd(gelu, res, dy):
     du = _irfft(dy_f * k_f_b.conj(), n=fft_size)[..., :seqlen]
     du = du + dy * D_full
 
-    # dL/dk: irfft(dy_f * conj(u_f)), reduced over broadcast dims.
-    dk_full = _irfft(dy_f * u_f.conj(), n=fft_size)[..., :seqlen]
+    # dL/dk: the batch reduction commutes with the (linear) inverse
+    # transform — reduce the SPECTRUM first so the inverse runs over C rows
+    # instead of B*C.
     k_b_shape = _expand_k(k, u.ndim).shape
-    dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
+    spec_shape = k_b_shape[:-1] + (fft_size // 2 + 1,)
+    prod = _reduce_to_shape(dy_f * u_f.conj(), spec_shape)
+    dk = _irfft(prod, n=fft_size)[..., :seqlen].reshape(k.shape)
 
     # dL/dD: dy * u reduced over dims broadcast against D (plus the L axis).
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
@@ -504,9 +507,11 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     dy_f = fwd_t(dy, fft_size)
     du = inv_t(dy_f * k_f_b.conj(), fft_size).real[..., :seqlen]
     du = du + dy * D_full
-    dk_full = inv_t(dy_f * u_f.conj(), fft_size).real[..., :seqlen]
+    # reduce the spectrum over batch dims before the (linear) inverse
     k_b_shape = _expand_k(k, u.ndim).shape
-    dk = _reduce_to_shape(dk_full, k_b_shape).reshape(k.shape)
+    spec_shape = k_b_shape[:-1] + (fft_size,)
+    prod = _reduce_to_shape(dy_f * u_f.conj(), spec_shape)
+    dk = inv_t(prod, fft_size).real[..., :seqlen].reshape(k.shape)
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 
@@ -677,10 +682,11 @@ def _fftconv_bwd_packed(res, dy, fft_size):
     duw = ifft_matmul(W_du, fft_size)[..., :seqlen]
     du = jnp.concatenate([duw.real, duw.imag], axis=-2) + dy * D_full
 
+    # batch-reduce in the frequency domain before the inverse (linearity)
     W_dk = DA * jnp.conj(UA) + 1j * (DB * jnp.conj(UB))
+    W_dk = jnp.sum(W_dk, axis=0) if W_dk.ndim == 3 else W_dk
     dkw = ifft_matmul(W_dk, fft_size)[..., :seqlen]
-    dk_full = jnp.concatenate([dkw.real, dkw.imag], axis=-2)
-    dk = _reduce_to_shape(dk_full, k.shape).reshape(k.shape)
+    dk = jnp.concatenate([dkw.real, dkw.imag], axis=-2).reshape(k.shape)
 
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
