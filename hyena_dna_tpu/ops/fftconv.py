@@ -400,9 +400,7 @@ def fftconv_chunked(
         uu, kk, dd = inp
         return None, fftconv(uu, kk, dd, gelu)
 
-    # unroll=2: lets XLA overlap two chunks' transforms (each chunk is
-    # budget-bounded, so the doubled workspace stays safe)
-    _, y = jax.lax.scan(body, None, (u_c, k_c, D_c), unroll=2)
+    _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
     return jnp.moveaxis(y, 0, 1).reshape(b, c, l)
 
 
