@@ -160,10 +160,10 @@ def fftconv_ref(
         u_in = u.astype(fft_dtype)
 
     if not bidirectional and k_rev is None and _use_mxu_fft(fft_size, _rows(u.shape)):
-        # MXU path: DFT-matmul transforms (permuted bin order cancels)
-        u_f2 = fft_matmul(u_in, fft_size)
-        k_f2 = fft_matmul(k.astype(fft_dtype), fft_size)
-        y = ifft_matmul(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
+        # MXU path: recursive natural-order DFT-matmul transforms
+        u_f2 = fft_natural_matmul(u_in, fft_size)
+        k_f2 = fft_natural_matmul(k.astype(fft_dtype), fft_size)
+        y = ifft_natural_matmul(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
     elif (
         fft_size >= TWO_STEP_FFT_MIN
         and not bidirectional
@@ -240,9 +240,9 @@ def _fftconv_fwd(u, k, D, gelu):
         y = fftconv_mxu_packed(u, k, D, gelu)
         return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
-        u_f = fft_matmul(u.astype(f32), fft_size)
-        k_f = fft_matmul(k.astype(f32), fft_size)
-        inv = ifft_matmul
+        u_f = fft_natural_matmul(u.astype(f32), fft_size)
+        k_f = fft_natural_matmul(k.astype(f32), fft_size)
+        inv = ifft_natural_matmul
         y = inv(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
     elif fft_size >= TWO_STEP_FFT_MIN:
         u_f = fft_2step(u.astype(f32), fft_size)
@@ -487,8 +487,8 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     seqlen = u.shape[-1]
     f32 = jnp.float32
     mxu = _use_mxu_fft(fft_size, _rows(u.shape))
-    fwd_t = fft_matmul if mxu else fft_2step
-    inv_t = ifft_matmul if mxu else ifft_2step
+    fwd_t = fft_natural_matmul if mxu else fft_2step
+    inv_t = ifft_natural_matmul if mxu else ifft_2step
     u_f = u_f_saved if u_f_saved is not None else fwd_t(u.astype(f32), fft_size)
     k_f = k_f_saved if k_f_saved is not None else fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
@@ -690,3 +690,45 @@ def _fftconv_bwd_packed(res, dy, fft_size):
 
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
+# ---------------------------------------------------------------------------
+# natural-order recursive matmul FFT: Cooley-Tukey where every level is a
+# pair of DFT matmuls + twiddle, recursing until the dense base case. The
+# output is in NATURAL bin order (each level's (p, q) block layout flattens
+# to q*R+p after one swapaxes), so the inverse is simply the conjugation
+# identity — no permutation bookkeeping, and FLOPs scale as N * sum(factors)
+# instead of N * (r + m) of the single-level version (16x less at n=2^20).
+# ---------------------------------------------------------------------------
+
+MATMUL_DFT_BASE = 256  # dense DFT below this size
+
+
+def fft_natural_matmul(x: jax.Array, n: int) -> jax.Array:
+    """Natural-order complex FFT of length n via recursive DFT matmuls."""
+    pad = n - x.shape[-1]
+    x = x.astype(jnp.complex64)
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return _fft_nat(x, n)
+
+
+def _fft_nat(x: jax.Array, n: int) -> jax.Array:
+    if n <= MATMUL_DFT_BASE:
+        return jnp.einsum("kt,...t->...k", _dft_mat(n), x)
+    r, m = _split_rm(n)
+    xg = x.reshape(*x.shape[:-1], r, m)  # t = a*m + b -> [a, b]
+    # FFT_R over a for each b: bring 'a' minor
+    g = _fft_nat(jnp.swapaxes(xg, -1, -2), r)  # (..., m(b), r(p))
+    tw = jnp.exp(
+        -2j * jnp.pi * (jnp.arange(m)[:, None] * jnp.arange(r)[None, :]) / n
+    ).astype(jnp.complex64)
+    g = g * tw
+    # FFT_M over b for each p
+    g = _fft_nat(jnp.swapaxes(g, -1, -2), m)  # (..., r(p), m(q))
+    # natural bin k = q*r + p -> layout [q][p]
+    return jnp.swapaxes(g, -1, -2).reshape(*x.shape[:-1], n)
+
+
+def ifft_natural_matmul(xf: jax.Array, n: int) -> jax.Array:
+    return jnp.conj(fft_natural_matmul(jnp.conj(xf), n)) / n

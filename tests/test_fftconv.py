@@ -274,3 +274,18 @@ def test_fftconv_packed_path_fwd_bwd_parity():
     finally:
         F._use_mxu_fft = old
         F.ENABLE_PACKED_MXU = old_packed
+
+
+def test_fft_natural_matmul_matches_numpy():
+    from hyena_dna_tpu.ops.fftconv import fft_natural_matmul, ifft_natural_matmul
+
+    rng = np.random.default_rng(17)
+    for n in (128, 512, 4096):
+        x = jnp.asarray(rng.normal(size=(3, n - 37)).astype(np.float32))
+        out = fft_natural_matmul(x, n)
+        ref = np.fft.fft(np.asarray(x), n=n)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=1e-3,
+                                   err_msg=f"n={n}")
+        back = ifft_natural_matmul(out, n)
+        np.testing.assert_allclose(np.asarray(back.real[..., : n - 37]),
+                                   np.asarray(x), atol=1e-3)
