@@ -57,6 +57,7 @@ def _use_mxu_fft(n: int, rows: int = 1) -> bool:
     try:
         return (
             n >= MATMUL_FFT_MIN
+            and n & (n - 1) == 0  # matmul-FFT chains assume pow2 sizes
             and 4 * rows * n * 8 <= MXU_FFT_BUDGET_BYTES
             and jax.default_backend() == "tpu"
         )
@@ -160,10 +161,10 @@ def fftconv_ref(
         u_in = u.astype(fft_dtype)
 
     if not bidirectional and k_rev is None and _use_mxu_fft(fft_size, _rows(u.shape)):
-        # MXU path: recursive natural-order DFT-matmul transforms
-        u_f2 = fft_natural_matmul(u_in, fft_size)
-        k_f2 = fft_natural_matmul(k.astype(fft_dtype), fft_size)
-        y = ifft_natural_matmul(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
+        # MXU path: chained DFT-matmul transforms (digit-permuted order)
+        u_f2 = mxu_fft(u_in, fft_size)
+        k_f2 = mxu_fft(k.astype(fft_dtype), fft_size)
+        y = mxu_ifft(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
     elif (
         fft_size >= TWO_STEP_FFT_MIN
         and not bidirectional
@@ -240,10 +241,9 @@ def _fftconv_fwd(u, k, D, gelu):
         y = fftconv_mxu_packed(u, k, D, gelu)
         return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
-        u_f = fft_natural_matmul(u.astype(f32), fft_size)
-        k_f = fft_natural_matmul(k.astype(f32), fft_size)
-        inv = ifft_natural_matmul
-        y = inv(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
+        u_f = mxu_fft(u.astype(f32), fft_size)
+        k_f = mxu_fft(k.astype(f32), fft_size)
+        y = mxu_ifft(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
     elif fft_size >= TWO_STEP_FFT_MIN:
         u_f = fft_2step(u.astype(f32), fft_size)
         k_f = fft_2step(k.astype(f32), fft_size)
@@ -487,8 +487,8 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     seqlen = u.shape[-1]
     f32 = jnp.float32
     mxu = _use_mxu_fft(fft_size, _rows(u.shape))
-    fwd_t = fft_natural_matmul if mxu else fft_2step
-    inv_t = ifft_natural_matmul if mxu else ifft_2step
+    fwd_t = mxu_fft if mxu else fft_2step
+    inv_t = mxu_ifft if mxu else ifft_2step
     u_f = u_f_saved if u_f_saved is not None else fwd_t(u.astype(f32), fft_size)
     k_f = k_f_saved if k_f_saved is not None else fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
@@ -588,9 +588,9 @@ def fftconv_mxu(u: jax.Array, k: jax.Array, D, gelu: bool = False) -> jax.Array:
     """
     seqlen = u.shape[-1]
     n = next_fast_fft_size(2 * seqlen)
-    u_f = fft_matmul(u.astype(jnp.float32), n)
-    k_f = fft_matmul(k.astype(jnp.float32), n)
-    y = ifft_matmul(u_f * _expand_k(k_f, u.ndim), n).real[..., :seqlen]
+    u_f = mxu_fft(u.astype(jnp.float32), n)
+    k_f = mxu_fft(k.astype(jnp.float32), n)
+    y = mxu_ifft(u_f * _expand_k(k_f, u.ndim), n).real[..., :seqlen]
     if D is not None:
         y = y + u.astype(jnp.float32) * jnp.asarray(D, jnp.float32)[..., None]
     if gelu:
@@ -732,3 +732,101 @@ def _fft_nat(x: jax.Array, n: int) -> jax.Array:
 
 def ifft_natural_matmul(xf: jax.Array, n: int) -> jax.Array:
     return jnp.conj(fft_natural_matmul(jnp.conj(xf), n)) / n
+
+
+# ---------------------------------------------------------------------------
+# chain (digit-permuted) matmul FFT: transpose-free Cooley-Tukey.
+#
+# The natural-order recursion above pays one (-1,-2) relayout per level to
+# interleave bins back into natural order. Convolution never needs natural
+# order — it multiplies bin-wise — so this pair keeps the spectrum in the
+# digit-permuted layout the recursion produces, and the inverse consumes that
+# same layout, eliminating every transpose in the round trip.
+#
+# Factor-chain rule, measured on v5e (conv = 3 transforms + bin multiply,
+# ms at constant rows*n): pass count dominates — each extra pass costs a
+# full spectrum read/write + twiddle — until the per-pass matmul K grows
+# past ~512, where matmul time takes over. Balanced 2-factor chains win
+# through n=2^18 (35-37 ms), balanced 3-factor chains win from n=2^20
+# ((64,128,128): 77 vs 81 ms; (128,128,128) at 2^21: 95 vs 145 ms); the
+# per-element cost of a p-pass chain is flat in n until its factors exceed
+# ~512, putting the 3->4 pass crossover near 2^26. Small factors are placed
+# FIRST so the minor (lane) dim of every intermediate stays >= 128.
+# ---------------------------------------------------------------------------
+
+CHAIN_OVERRIDE: dict[int, tuple[int, ...]] = {}  # per-n experiments
+
+
+def _nat_chain(n: int) -> tuple[int, ...]:
+    if n in CHAIN_OVERRIDE:
+        return tuple(CHAIN_OVERRIDE[n])
+    if n <= 1 << 10:
+        return (n,)
+    if n & (n - 1):
+        raise ValueError(f"matmul-FFT chain needs a power-of-2 size, got {n}")
+    e = n.bit_length() - 1
+    parts = 2 if e <= 19 else 3 if e <= 25 else 4
+    base, rem = divmod(e, parts)
+    exps = [base] * (parts - rem) + [base + 1] * rem  # ascending
+    return tuple(1 << x for x in exps)
+
+
+def _twiddle(r: int, m: int, n: int) -> jnp.ndarray:
+    return jnp.exp(
+        -2j * jnp.pi * (jnp.arange(r)[:, None] * jnp.arange(m)[None, :]) / n
+    ).astype(jnp.complex64)
+
+
+def fft_chain_matmul(x: jax.Array, n: int) -> jax.Array:
+    """Digit-permuted complex FFT of length n via chained DFT matmuls.
+
+    Returns (..., n) complex64 with bins in the chain's digit-permuted
+    order; pair ONLY with `ifft_chain_matmul` (bin-wise ops in between —
+    conj, multiply, reductions over leading axes — are layout-safe)."""
+    pad = n - x.shape[-1]
+    x = x.astype(jnp.complex64)
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return _fft_chain(x, n, _nat_chain(n))
+
+
+def _fft_chain(x: jax.Array, n: int, chain: tuple[int, ...]) -> jax.Array:
+    # X[q*r + p] = DFT_m over b { W_n^{pb} * DFT_r over a { x[a*m+b] } }
+    if len(chain) == 1:
+        return jnp.einsum("kt,...t->...k", _dft_mat(n), x)
+    r, m = chain[0], n // chain[0]
+    xg = x.reshape(*x.shape[:-1], r, m)  # t = a*m + b
+    g = jnp.einsum("pa,...ab->...pb", _dft_mat(r), xg)  # DFT over the major digit
+    g = g * _twiddle(r, m, n)
+    g = _fft_chain(g, m, chain[1:])  # m-point transform per p (permuted order)
+    return g.reshape(*x.shape[:-1], n)
+
+
+def ifft_chain_matmul(y: jax.Array, n: int) -> jax.Array:
+    """Exact inverse of `fft_chain_matmul` (consumes its permuted layout,
+    returns natural time order)."""
+    return _ifft_chain(y.astype(jnp.complex64), n, _nat_chain(n))
+
+
+def _ifft_chain(y: jax.Array, n: int, chain: tuple[int, ...]) -> jax.Array:
+    if len(chain) == 1:
+        return jnp.einsum("tk,...k->...t", jnp.conj(_dft_mat(n)), y) / n
+    r, m = chain[0], n // chain[0]
+    yg = y.reshape(*y.shape[:-1], r, m)  # (p, permuted-q)
+    g = _ifft_chain(yg, m, chain[1:])  # undo the m-side -> (..., p, b)
+    g = g * jnp.conj(_twiddle(r, m, n))
+    x = jnp.einsum("ap,...pb->...ab", jnp.conj(_dft_mat(r)), g) / r
+    return x.reshape(*y.shape[:-1], n)
+
+
+# Conv-path MXU transform pair. NAT_ORDER=True falls back to the
+# natural-order recursion (kept for A/B comparison and API use).
+NAT_ORDER = False
+
+
+def mxu_fft(x: jax.Array, n: int) -> jax.Array:
+    return fft_natural_matmul(x, n) if NAT_ORDER else fft_chain_matmul(x, n)
+
+
+def mxu_ifft(y: jax.Array, n: int) -> jax.Array:
+    return ifft_natural_matmul(y, n) if NAT_ORDER else ifft_chain_matmul(y, n)

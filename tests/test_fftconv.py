@@ -289,3 +289,43 @@ def test_fft_natural_matmul_matches_numpy():
         back = ifft_natural_matmul(out, n)
         np.testing.assert_allclose(np.asarray(back.real[..., : n - 37]),
                                    np.asarray(x), atol=1e-3)
+
+def test_fft_chain_matmul_conv_and_roundtrip():
+    """The digit-permuted chain pair: exact roundtrip, layout-consistent
+    bin-wise convolution, and DP chain structure."""
+    import importlib
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    rng = np.random.default_rng(18)
+    # DP sanity: factors multiply to n; small factors first
+    for e in (12, 16, 17, 20):
+        ch = F._nat_chain(1 << e)
+        assert int(np.prod(ch)) == 1 << e, ch
+        assert list(ch) == sorted(ch), ch
+    for n, override in ((1024, None), (4096, None), (4096, (4, 32, 32)),
+                        (8192, (4, 4, 8, 64)), (2048, (16, 128))):
+        if override is not None:
+            F.CHAIN_OVERRIDE[n] = override
+        try:
+            L = n // 2 - 13
+            x = jnp.asarray(rng.normal(size=(3, L)).astype(np.float32))
+            k = jnp.asarray((rng.normal(size=(3, L)) * 0.05).astype(np.float32))
+            xf = F.fft_chain_matmul(x, n)
+            back = F.ifft_chain_matmul(xf, n)
+            np.testing.assert_allclose(np.asarray(back.real[..., :L]),
+                                       np.asarray(x), atol=1e-3,
+                                       err_msg=f"roundtrip n={n} {override}")
+            # conv through the permuted layout == direct linear conv
+            y = F.ifft_chain_matmul(xf * F.fft_chain_matmul(k, n), n).real[..., :L]
+            ref = F.fftconv_ref(x[None], k, None)[0]
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"conv n={n} {override}")
+            # permuted spectrum is a permutation of the natural one
+            ref_f = np.fft.fft(np.asarray(x), n=n)
+            np.testing.assert_allclose(
+                np.sort(np.abs(np.asarray(xf)), axis=-1),
+                np.sort(np.abs(ref_f), axis=-1), atol=2e-2, rtol=1e-3,
+                err_msg=f"permutation n={n} {override}")
+        finally:
+            F.CHAIN_OVERRIDE.pop(n, None)
