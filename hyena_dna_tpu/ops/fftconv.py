@@ -161,10 +161,13 @@ def fftconv_ref(
         u_in = u.astype(fft_dtype)
 
     if not bidirectional and k_rev is None and _use_mxu_fft(fft_size, _rows(u.shape)):
-        # MXU path: chained DFT-matmul transforms (digit-permuted order)
-        u_f2 = mxu_fft(u_in, fft_size)
-        k_f2 = mxu_fft(k.astype(fft_dtype), fft_size)
-        y = mxu_ifft(u_f2 * _expand_k(k_f2, u.ndim), fft_size).real[..., :seqlen]
+        # MXU path: chained DFT-matmul transforms (digit-permuted order,
+        # split real/imag so real-input and real-output passes drop matmuls)
+        ur, ui = fft_chain_ri(u_in, fft_size)
+        kr, ki = fft_chain_ri(k.astype(fft_dtype), fft_size)
+        krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
+        y = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb,
+                            fft_size)[..., :seqlen]
     elif (
         fft_size >= TWO_STEP_FFT_MIN
         and not bidirectional
@@ -241,9 +244,12 @@ def _fftconv_fwd(u, k, D, gelu):
         y = fftconv_mxu_packed(u, k, D, gelu)
         return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
-        u_f = mxu_fft(u.astype(f32), fft_size)
-        k_f = mxu_fft(k.astype(f32), fft_size)
-        y = mxu_ifft(u_f * _expand_k(k_f, u.ndim), fft_size).real[..., :seqlen]
+        ur, ui = fft_chain_ri(u.astype(f32), fft_size)
+        kr, ki = fft_chain_ri(k.astype(f32), fft_size)
+        krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
+        y = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb,
+                            fft_size)[..., :seqlen]
+        u_f = k_f = None
     elif fft_size >= TWO_STEP_FFT_MIN:
         u_f = fft_2step(u.astype(f32), fft_size)
         k_f = fft_2step(k.astype(f32), fft_size)
@@ -479,16 +485,55 @@ def fftconv_long(u: jax.Array, k: jax.Array, D: jax.Array, n: int) -> jax.Array:
     return y.astype(u.dtype)
 
 
+def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
+    """MXU backward on split real/imag chain transforms: conjugation and the
+    batch reduction act bin-wise/linearly, so both work in the digit-permuted
+    layout; all inverses keep only the real part (2 matmuls each)."""
+    u, k, D, _, _ = res
+    seqlen = u.shape[-1]
+    f32 = jnp.float32
+    ur, ui = fft_chain_ri(u.astype(f32), fft_size)
+    kr, ki = fft_chain_ri(k.astype(f32), fft_size)
+    krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
+    D_arr = jnp.asarray(D)
+    D_full = D_arr.astype(f32)[..., None]
+
+    dy = dy.astype(f32)
+    if gelu:
+        pre = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb,
+                              fft_size)[..., :seqlen]
+        pre = pre + u.astype(f32) * D_full
+        inv_sqrt2 = 1.0 / math.sqrt(2.0)
+        cdf = 0.5 * (1.0 + jax.lax.erf(pre * inv_sqrt2))
+        pdf = jnp.exp(-0.5 * pre * pre) / math.sqrt(2.0 * math.pi)
+        dy = dy * (cdf + pre * pdf)
+
+    dr, di = fft_chain_ri(dy, fft_size)
+    # dL/du = inv(dy_f * conj(k_f))
+    du = ifft_chain_real(dr * krb + di * kib, di * krb - dr * kib,
+                         fft_size)[..., :seqlen]
+    du = du + dy * D_full
+    # dL/dk = inv(sum_batch dy_f * conj(u_f)) — reduce spectra first
+    k_b_shape = _expand_k(k, u.ndim).shape
+    spec_shape = k_b_shape[:-1] + (fft_size,)
+    pr = _reduce_to_shape(dr * ur + di * ui, spec_shape)
+    pi = _reduce_to_shape(di * ur - dr * ui, spec_shape)
+    dk = ifft_chain_real(pr, pi, fft_size)[..., :seqlen].reshape(k.shape)
+    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
 def _fftconv_bwd_long(gelu, res, dy, fft_size):
     """Backward via a permuted-order blocked transform (conjugation works
     bin-wise in any consistent ordering): MXU matmul-FFT on TPU, two-step
     FFT otherwise."""
+    if _use_mxu_fft(fft_size, _rows(res[0].shape)):
+        return _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size)
     u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
-    mxu = _use_mxu_fft(fft_size, _rows(u.shape))
-    fwd_t = mxu_fft if mxu else fft_2step
-    inv_t = mxu_ifft if mxu else ifft_2step
+    fwd_t = fft_2step
+    inv_t = ifft_2step
     u_f = u_f_saved if u_f_saved is not None else fwd_t(u.astype(f32), fft_size)
     k_f = k_f_saved if k_f_saved is not None else fwd_t(k.astype(f32), fft_size)
     k_f_b = _expand_k(k_f, u.ndim)
@@ -588,9 +633,10 @@ def fftconv_mxu(u: jax.Array, k: jax.Array, D, gelu: bool = False) -> jax.Array:
     """
     seqlen = u.shape[-1]
     n = next_fast_fft_size(2 * seqlen)
-    u_f = mxu_fft(u.astype(jnp.float32), n)
-    k_f = mxu_fft(k.astype(jnp.float32), n)
-    y = mxu_ifft(u_f * _expand_k(k_f, u.ndim), n).real[..., :seqlen]
+    ur, ui = fft_chain_ri(u.astype(jnp.float32), n)
+    kr, ki = fft_chain_ri(k.astype(jnp.float32), n)
+    krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
+    y = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb, n)[..., :seqlen]
     if D is not None:
         y = y + u.astype(jnp.float32) * jnp.asarray(D, jnp.float32)[..., None]
     if gelu:
@@ -819,8 +865,112 @@ def _ifft_chain(y: jax.Array, n: int, chain: tuple[int, ...]) -> jax.Array:
     return x.reshape(*y.shape[:-1], n)
 
 
-# Conv-path MXU transform pair. NAT_ORDER=True falls back to the
-# natural-order recursion (kept for A/B comparison and API use).
+# ---------------------------------------------------------------------------
+# split real/imag chain transforms: the conv only ever feeds REAL signals in
+# and needs only the REAL part out, and XLA's complex dot lowering can
+# exploit neither. Carrying (re, im) as separate f32 arrays gives
+#   * 2 real matmuls (not 4) on the first forward pass (imag input is zero),
+#   * Karatsuba 3-matmul complex passes elsewhere (DFT matrices are
+#     constants, so the (Br+Bi) combination folds at trace time),
+#   * 2 real matmuls on the final inverse pass (only Re is kept),
+# i.e. ~0.65x the matmul work of the complex64 formulation.
+# ---------------------------------------------------------------------------
+
+
+def _dft_mat_ri(n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    a = jnp.arange(n, dtype=jnp.float32)
+    ang = (-2.0 * jnp.pi / n) * (a[:, None] * a[None, :])
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _twiddle_ri(r: int, m: int, n: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    ang = (-2.0 * jnp.pi / n) * (
+        jnp.arange(r, dtype=jnp.float32)[:, None]
+        * jnp.arange(m, dtype=jnp.float32)[None, :]
+    )
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+# Karatsuba (3-matmul complex product) saves 25% matmul work but adds an
+# (ar+ai) elementwise pass; measured on v5e it wins when the contraction is
+# MXU-saturating (K>=256: 25.7 vs 32.8 ms/conv at n=2^16) and loses when
+# the pass is bandwidth-bound at small K (K=64..128 at n=2^20).
+KARATSUBA_MIN_K = 256
+
+
+def _cdot(s, ar, ai, br, bi):
+    """einsum(s, B, A) for complex A=(ar, ai), constant complex B=(br, bi).
+    Real input (ai=None): 2 real einsums; else 3 (Karatsuba) or 4."""
+    if ai is None:
+        return jnp.einsum(s, br, ar), jnp.einsum(s, bi, ar)
+    if br.shape[0] >= KARATSUBA_MIN_K:
+        m1 = jnp.einsum(s, br, ar)
+        m2 = jnp.einsum(s, bi, ai)
+        m3 = jnp.einsum(s, br + bi, ar + ai)
+        return m1 - m2, m3 - m1 - m2
+    re = jnp.einsum(s, br, ar) - jnp.einsum(s, bi, ai)
+    im = jnp.einsum(s, br, ai) + jnp.einsum(s, bi, ar)
+    return re, im
+
+
+def _cdot_re(s, ar, ai, br, bi):
+    """Real part only of einsum(s, B, A): 2 real einsums."""
+    return jnp.einsum(s, br, ar) - jnp.einsum(s, bi, ai)
+
+
+def fft_chain_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
+    """Digit-permuted FFT of a REAL signal as an (re, im) f32 pair."""
+    pad = n - x.shape[-1]
+    x = x.astype(jnp.float32)
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return _fft_chain_ri(x, None, n, _nat_chain(n))
+
+
+def _fft_chain_ri(ar, ai, n, chain):
+    if len(chain) == 1:
+        return _cdot("kt,...t->...k", ar, ai, *_dft_mat_ri(n))
+    r, m = chain[0], n // chain[0]
+    lead = ar.shape[:-1]
+    arg = ar.reshape(*lead, r, m)
+    aig = None if ai is None else ai.reshape(*lead, r, m)
+    gr, gi = _cdot("pa,...ab->...pb", arg, aig, *_dft_mat_ri(r))
+    twr, twi = _twiddle_ri(r, m, n)
+    gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
+    gr, gi = _fft_chain_ri(gr, gi, m, chain[1:])
+    return gr.reshape(*lead, n), gi.reshape(*lead, n)
+
+
+def ifft_chain_real(yr: jax.Array, yi: jax.Array, n: int) -> jax.Array:
+    """Real part of the inverse of `fft_chain_ri` (natural time order)."""
+    return _ifft_chain_ri(yr, yi, n, _nat_chain(n), real_out=True)[0]
+
+
+def _ifft_chain_ri(yr, yi, n, chain, real_out=False):
+    if len(chain) == 1:
+        fre, fim = _dft_mat_ri(n)
+        cr, ci = fre / n, -fim / n  # conj(F)/n
+        if real_out:
+            return _cdot_re("tk,...k->...t", yr, yi, cr, ci), None
+        return _cdot("tk,...k->...t", yr, yi, cr, ci)
+    r, m = chain[0], n // chain[0]
+    lead = yr.shape[:-1]
+    gr, gi = _ifft_chain_ri(
+        yr.reshape(*lead, r, m), yi.reshape(*lead, r, m), m, chain[1:]
+    )
+    twr, twi = _twiddle_ri(r, m, n)  # conj: (twr, -twi)
+    gr, gi = gr * twr + gi * twi, gi * twr - gr * twi
+    fre, fim = _dft_mat_ri(r)
+    cr, ci = fre / r, -fim / r
+    if real_out:
+        xr = _cdot_re("ap,...pb->...ab", gr, gi, cr, ci)
+        return xr.reshape(*lead, n), None
+    xr, xi = _cdot("ap,...pb->...ab", gr, gi, cr, ci)
+    return xr.reshape(*lead, n), xi.reshape(*lead, n)
+
+
+# Conv-path MXU transform pair (complex API). NAT_ORDER=True falls back to
+# the natural-order recursion (kept for A/B comparison and API use).
 NAT_ORDER = False
 
 

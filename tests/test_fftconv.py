@@ -329,3 +329,29 @@ def test_fft_chain_matmul_conv_and_roundtrip():
                 err_msg=f"permutation n={n} {override}")
         finally:
             F.CHAIN_OVERRIDE.pop(n, None)
+
+def test_fft_chain_ri_matches_complex():
+    """Split real/imag chain pair == complex chain pair == numpy."""
+    import importlib
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    rng = np.random.default_rng(19)
+    for n, override in ((2048, None), (4096, (4, 32, 32))):
+        if override is not None:
+            F.CHAIN_OVERRIDE[n] = override
+        try:
+            L = n // 2 - 7
+            x = jnp.asarray(rng.normal(size=(2, L)).astype(np.float32))
+            k = jnp.asarray((rng.normal(size=(2, L)) * 0.05).astype(np.float32))
+            xr, xi = F.fft_chain_ri(x, n)
+            ref = np.asarray(F.fft_chain_matmul(x, n))
+            np.testing.assert_allclose(np.asarray(xr), ref.real, atol=1e-2)
+            np.testing.assert_allclose(np.asarray(xi), ref.imag, atol=1e-2)
+            kr, ki = F.fft_chain_ri(k, n)
+            y = F.ifft_chain_real(xr * kr - xi * ki, xr * ki + xi * kr, n)[..., :L]
+            refy = F.fftconv_ref(x[None], k, None)[0]
+            np.testing.assert_allclose(np.asarray(y), np.asarray(refy),
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"n={n} {override}")
+        finally:
+            F.CHAIN_OVERRIDE.pop(n, None)
