@@ -368,11 +368,21 @@ def fftconv_h3(
 # ---------------------------------------------------------------------------
 
 
-def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int = 1 << 28) -> int:
+# Per-chunk spectrum budget for the channel-chunked conv. Small chunks keep
+# the FFT workspace resident and let XLA overlap the scan; measured on the
+# 450k train step (16 GB v5e): 1<<28 (chunk 8) = 2.66 s/step, 1<<29
+# (chunk 16) = 4.41 s/step, 1<<30 (chunk 32) never finished compiling
+# through the tunnel. Bigger is NOT better here.
+FFTCONV_CHUNK_BUDGET = 1 << 28
+
+
+def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int | None = None) -> int:
     """Channels per chunk so one chunk's complex spectrum stays under
     ~budget_bytes. At 1M context the full-width (C=256) conv needs several
     GB of f32 FFT workspace (the 450k single-chip OOM); chunking trades a
     lax.scan over channel blocks for a bounded working set."""
+    if budget_bytes is None:
+        budget_bytes = FFTCONV_CHUNK_BUDGET
     fft_size = next_fast_fft_size(2 * seqlen)
     per_channel = (fft_size // 2 + 1) * 8  # complex64 spectrum bytes
     block = max(1, budget_bytes // (4 * per_channel))  # ~4 live buffers
