@@ -928,10 +928,24 @@ def _cdot_re(s, ar, ai, br, bi):
     return jnp.einsum(s, br, ar) - jnp.einsum(s, bi, ai)
 
 
+# Interior spectrum storage dtype. The DFT matmuls already run with
+# bf16-rounded inputs (TPU DEFAULT matmul precision; f32 accumulation), so
+# storing the interior passes in bf16 mostly halves HBM traffic — the
+# binding resource. Measured at n=2^16 (rows=1024, v5e): 16.6 vs 62.0 ms
+# per conv (3.7x) at max-rel conv error 6.7e-3 vs 4.3e-3 against the f32
+# rfft reference — one extra rounding per stored pass, on top of the input
+# rounding the MXU applies anyway. Set to None for f32 storage.
+MXU_SPECTRUM_DTYPE = jnp.bfloat16
+
+
+def _sd(x):
+    return x if MXU_SPECTRUM_DTYPE is None else x.astype(MXU_SPECTRUM_DTYPE)
+
+
 def fft_chain_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
-    """Digit-permuted FFT of a REAL signal as an (re, im) f32 pair."""
+    """Digit-permuted FFT of a REAL signal as an (re, im) pair."""
     pad = n - x.shape[-1]
-    x = x.astype(jnp.float32)
+    x = _sd(x.astype(jnp.float32))
     if pad:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     return _fft_chain_ri(x, None, n, _nat_chain(n))
@@ -939,27 +953,29 @@ def fft_chain_ri(x: jax.Array, n: int) -> tuple[jax.Array, jax.Array]:
 
 def _fft_chain_ri(ar, ai, n, chain):
     if len(chain) == 1:
-        return _cdot("kt,...t->...k", ar, ai, *_dft_mat_ri(n))
+        return _cdot("kt,...t->...k", ar, ai, *map(_sd, _dft_mat_ri(n)))
     r, m = chain[0], n // chain[0]
     lead = ar.shape[:-1]
     arg = ar.reshape(*lead, r, m)
     aig = None if ai is None else ai.reshape(*lead, r, m)
-    gr, gi = _cdot("pa,...ab->...pb", arg, aig, *_dft_mat_ri(r))
-    twr, twi = _twiddle_ri(r, m, n)
+    gr, gi = _cdot("pa,...ab->...pb", arg, aig, *map(_sd, _dft_mat_ri(r)))
+    twr, twi = map(_sd, _twiddle_ri(r, m, n))
     gr, gi = gr * twr - gi * twi, gr * twi + gi * twr
     gr, gi = _fft_chain_ri(gr, gi, m, chain[1:])
     return gr.reshape(*lead, n), gi.reshape(*lead, n)
 
 
 def ifft_chain_real(yr: jax.Array, yi: jax.Array, n: int) -> jax.Array:
-    """Real part of the inverse of `fft_chain_ri` (natural time order)."""
-    return _ifft_chain_ri(yr, yi, n, _nat_chain(n), real_out=True)[0]
+    """Real part of the inverse of `fft_chain_ri` (natural time order,
+    f32 output)."""
+    out = _ifft_chain_ri(_sd(yr), _sd(yi), n, _nat_chain(n), real_out=True)[0]
+    return out.astype(jnp.float32)
 
 
 def _ifft_chain_ri(yr, yi, n, chain, real_out=False):
     if len(chain) == 1:
         fre, fim = _dft_mat_ri(n)
-        cr, ci = fre / n, -fim / n  # conj(F)/n
+        cr, ci = _sd(fre / n), _sd(-fim / n)  # conj(F)/n
         if real_out:
             return _cdot_re("tk,...k->...t", yr, yi, cr, ci), None
         return _cdot("tk,...k->...t", yr, yi, cr, ci)
@@ -968,10 +984,10 @@ def _ifft_chain_ri(yr, yi, n, chain, real_out=False):
     gr, gi = _ifft_chain_ri(
         yr.reshape(*lead, r, m), yi.reshape(*lead, r, m), m, chain[1:]
     )
-    twr, twi = _twiddle_ri(r, m, n)  # conj: (twr, -twi)
+    twr, twi = map(_sd, _twiddle_ri(r, m, n))  # conj: (twr, -twi)
     gr, gi = gr * twr + gi * twi, gi * twr - gr * twi
     fre, fim = _dft_mat_ri(r)
-    cr, ci = fre / r, -fim / r
+    cr, ci = _sd(fre / r), _sd(-fim / r)
     if real_out:
         xr = _cdot_re("ap,...pb->...ab", gr, gi, cr, ci)
         return xr.reshape(*lead, n), None

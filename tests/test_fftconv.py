@@ -178,14 +178,20 @@ def test_fftconv_chunk_size_math():
 
 
 def test_fftconv_mxu_matches_reference():
-    from hyena_dna_tpu.ops.fftconv import fftconv_mxu
+    import importlib
 
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
     rng = np.random.default_rng(11)
     u = jnp.asarray(rng.normal(size=(2, 8, 128)).astype(np.float32))
     k = jnp.asarray(rng.normal(size=(8, 128)).astype(np.float32))
     D = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
     ref = fftconv(u, k, D, False)
-    out = fftconv_mxu(u, k, D, False)
+    old_sd = F.MXU_SPECTRUM_DTYPE
+    F.MXU_SPECTRUM_DTYPE = None  # exactness check: f32 storage
+    try:
+        out = F.fftconv_mxu(u, k, D, False)
+    finally:
+        F.MXU_SPECTRUM_DTYPE = old_sd
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3, rtol=1e-3)
 
 
@@ -215,8 +221,10 @@ def test_fftconv_mxu_path_parity_fwd_bwd():
     ref_g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
                      argnums=(0, 1, 2))(u, k, D)
     old_min, old_use = F.MATMUL_FFT_MIN, F._use_mxu_fft
+    old_sd = F.MXU_SPECTRUM_DTYPE
     F.MATMUL_FFT_MIN = 1024
     F._use_mxu_fft = lambda n, rows=1: n >= 1024  # ignore backend gate for the test
+    F.MXU_SPECTRUM_DTYPE = None  # f32 storage: this test checks structure
     try:
         y = F.fftconv(u, k, D, False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
@@ -228,6 +236,35 @@ def test_fftconv_mxu_path_parity_fwd_bwd():
                                        atol=5e-2, rtol=5e-3, err_msg=name)
     finally:
         F.MATMUL_FFT_MIN, F._use_mxu_fft = old_min, old_use
+        F.MXU_SPECTRUM_DTYPE = old_sd
+
+
+def test_fftconv_mxu_bf16_spectrum_tolerance():
+    """bf16 interior spectra (the TPU default) stay within bf16-training
+    tolerance of the f32 conv."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    rng = np.random.default_rng(21)
+    u = jnp.asarray(rng.normal(size=(2, 8, 2048)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(8, 2048)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref_y = F.fftconv(u, k, D, False)
+    old_use, old_sd = F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE
+    F._use_mxu_fft = lambda n, rows=1: n >= 1024
+    F.MXU_SPECTRUM_DTYPE = jnp.bfloat16
+    try:
+        y = F.fftconv(u, k, D, False)
+        scale = float(np.abs(np.asarray(ref_y)).max())
+        err = float(np.abs(np.asarray(y) - np.asarray(ref_y)).max()) / scale
+        assert err < 3e-2, f"bf16 spectrum error too large: {err}"
+        g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+        assert all(np.isfinite(np.asarray(x)).all() for x in g)
+    finally:
+        F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE = old_use, old_sd
 
 
 def test_fftconv_mxu_packed_matches_reference():
@@ -260,8 +297,10 @@ def test_fftconv_packed_path_fwd_bwd_parity():
                      argnums=(0, 1, 2))(u, k, D)
     old = F._use_mxu_fft
     old_packed = F.ENABLE_PACKED_MXU
+    old_sd = F.MXU_SPECTRUM_DTYPE
     F._use_mxu_fft = lambda n, rows=1: n >= 256
     F.ENABLE_PACKED_MXU = True
+    F.MXU_SPECTRUM_DTYPE = None  # f32 storage: this test checks structure
     try:
         y = F.fftconv(u, k, D, False)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
@@ -274,6 +313,7 @@ def test_fftconv_packed_path_fwd_bwd_parity():
     finally:
         F._use_mxu_fft = old
         F.ENABLE_PACKED_MXU = old_packed
+        F.MXU_SPECTRUM_DTYPE = old_sd
 
 
 def test_fft_natural_matmul_matches_numpy():
@@ -336,6 +376,8 @@ def test_fft_chain_ri_matches_complex():
 
     F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
     rng = np.random.default_rng(19)
+    old_sd = F.MXU_SPECTRUM_DTYPE
+    F.MXU_SPECTRUM_DTYPE = None  # compare f32-stored ri against complex
     for n, override in ((2048, None), (4096, (4, 32, 32))):
         if override is not None:
             F.CHAIN_OVERRIDE[n] = override
@@ -355,3 +397,4 @@ def test_fft_chain_ri_matches_complex():
                                        err_msg=f"n={n} {override}")
         finally:
             F.CHAIN_OVERRIDE.pop(n, None)
+    F.MXU_SPECTRUM_DTYPE = old_sd
