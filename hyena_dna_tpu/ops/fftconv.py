@@ -201,17 +201,23 @@ def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax
     return fftconv_ref(u, k, D, gelu=gelu)
 
 
-# Save forward spectra for the backward pass when below this size.
-# Disabled by default: measured no speedup at the bench shape (XLA already
-# schedules the recompute well), and saved residuals STACK across the
-# channel-chunk scan at long L, inflating memory (41 GB at 450k).
+# Save forward spectra for the backward pass when below this size, sparing
+# the backward its u/k forward-transform recompute. Measured no win twice:
+# with complex64 spectra (227k tok/s era) and again with bf16 ri pairs
+# (386.4k saved vs 388.9k recomputed at the 32k bench shape) — XLA
+# overlaps the recompute well, so the residual traffic only adds memory
+# pressure. Left disabled; when enabled, saving is suppressed inside the
+# channel-chunk scan (`fftconv_chunked`), where per-chunk residuals would
+# STACK across scan iterations (41 GB at 450k when first tried).
 SAVE_SPECTRA_MAX_BYTES = 0
+_SPECTRA_SAVE_OK = True  # cleared while tracing the chunk-scan body
 
 
 def _spectrum_nbytes(shape, fft_size):
     import numpy as _np
 
-    return int(_np.prod(shape[:-1])) * fft_size * 8
+    per = 8 if MXU_SPECTRUM_DTYPE is None else 4  # (re, im) pair bytes/bin
+    return int(_np.prod(shape[:-1])) * fft_size * per
 
 
 # Channel-pair packing halves matmul-FFT rows but pays two conjugate-bin
@@ -249,7 +255,8 @@ def _fftconv_fwd(u, k, D, gelu):
         krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
         y = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb,
                             fft_size)[..., :seqlen]
-        u_f = k_f = None
+        u_f = (ur, ui) if save and _SPECTRA_SAVE_OK else None
+        k_f = (kr, ki) if save and _SPECTRA_SAVE_OK else None
     elif fft_size >= TWO_STEP_FFT_MIN:
         u_f = fft_2step(u.astype(f32), fft_size)
         k_f = fft_2step(k.astype(f32), fft_size)
@@ -416,7 +423,13 @@ def fftconv_chunked(
         uu, kk, dd = inp
         return None, fftconv(uu, kk, dd, gelu)
 
-    _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
+    global _SPECTRA_SAVE_OK
+    old_save = _SPECTRA_SAVE_OK
+    _SPECTRA_SAVE_OK = False  # per-chunk residuals would stack across the scan
+    try:
+        _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
+    finally:
+        _SPECTRA_SAVE_OK = old_save
     return jnp.moveaxis(y, 0, 1).reshape(b, c, l)
 
 
@@ -499,11 +512,13 @@ def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
     """MXU backward on split real/imag chain transforms: conjugation and the
     batch reduction act bin-wise/linearly, so both work in the digit-permuted
     layout; all inverses keep only the real part (2 matmuls each)."""
-    u, k, D, _, _ = res
+    u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
-    ur, ui = fft_chain_ri(u.astype(f32), fft_size)
-    kr, ki = fft_chain_ri(k.astype(f32), fft_size)
+    ur, ui = (u_f_saved if u_f_saved is not None
+              else fft_chain_ri(u.astype(f32), fft_size))
+    kr, ki = (k_f_saved if k_f_saved is not None
+              else fft_chain_ri(k.astype(f32), fft_size))
     krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
     D_arr = jnp.asarray(D)
     D_full = D_arr.astype(f32)[..., None]
