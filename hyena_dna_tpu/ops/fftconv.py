@@ -238,6 +238,59 @@ def _packed_eligible(u, k, fft_size):
     )
 
 
+# Fully-fused Pallas conv kernel (ops/pallas_fftconv.py): the whole
+# transform->multiply->inverse pipeline in VMEM, one HBM round trip.
+# Engaged on TPU for 3D/no-gelu convs whose size has a 2-factor chain.
+PALLAS_FFTCONV = True
+PALLAS_FFTCONV_INTERPRET = False  # tests: run the kernel in interpret mode
+
+
+def _pallas_conv_plan(u, k, fft_size, gelu):
+    if not PALLAS_FFTCONV or gelu or u.ndim != 3 or k.ndim != 2:
+        return None
+    if k.shape[0] != u.shape[1]:
+        return None
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        return None
+    if not (on_tpu or PALLAS_FFTCONV_INTERPRET):
+        return None
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    return _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
+
+
+def _pallas_k_spectrum(k, fft_size, r, m, conj=False):
+    """Filter spectrum in the kernel's (r, C, m) layout."""
+    kr, ki = fft_chain_ri(k.astype(jnp.float32), fft_size)
+    c = k.shape[0]
+    if conj:
+        ki = -ki
+    to = lambda a: jnp.transpose(a.reshape(c, r, m), (1, 0, 2))
+    return to(kr), to(ki)
+
+
+def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    r, m, cb = plan_rmc
+    seqlen = u.shape[-1]
+    lp = (r // 2) * m
+    ksr, ksi = _pallas_k_spectrum(k, fft_size, r, m, conj=conj_filter)
+    u_in = u
+    if seqlen < lp:
+        u_in = jnp.pad(u, [(0, 0), (0, 0), (0, lp - seqlen)])
+    if D is None:
+        d_arr = jnp.zeros((u.shape[1],), jnp.float32)
+    else:
+        d_arr = jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                 (u.shape[1],))
+    y = _pf.fftconv_fused_fwd(u_in.astype(jnp.float32), ksr, ksi, d_arr,
+                              r, m, cb, interpret=PALLAS_FFTCONV_INTERPRET)
+    return y[..., :seqlen]
+
+
 def _fftconv_fwd(u, k, D, gelu):
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
@@ -250,6 +303,10 @@ def _fftconv_fwd(u, k, D, gelu):
         y = fftconv_mxu_packed(u, k, D, gelu)
         return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
+        pplan = _pallas_conv_plan(u, k, fft_size, gelu)
+        if pplan is not None:
+            y = _pallas_conv_apply(u, k, D, fft_size, pplan).astype(u.dtype)
+            return y, (u, k, D, None, None)
         ur, ui = fft_chain_ri(u.astype(f32), fft_size)
         kr, ki = fft_chain_ri(k.astype(f32), fft_size)
         krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
@@ -515,6 +572,9 @@ def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
     u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     f32 = jnp.float32
+    pplan = None if gelu else _pallas_conv_plan(u, k, fft_size, False)
+    if pplan is not None:
+        return _fftconv_bwd_pallas(res, dy, fft_size, pplan)
     ur, ui = (u_f_saved if u_f_saved is not None
               else fft_chain_ri(u.astype(f32), fft_size))
     kr, ki = (k_f_saved if k_f_saved is not None
@@ -544,6 +604,37 @@ def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
     pr = _reduce_to_shape(dr * ur + di * ui, spec_shape)
     pi = _reduce_to_shape(di * ur - dr * ui, spec_shape)
     dk = ifft_chain_real(pr, pi, fft_size)[..., :seqlen].reshape(k.shape)
+    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
+def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
+    """Backward through the fused kernel (no-gelu 3D case):
+    du = the SAME fused conv with the conjugated filter spectrum (+ dy*D);
+    dk = kernel-accumulated sum_b dy_f*conj(u_f) + a cheap C-row inverse."""
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    u, k, D, _, _ = res
+    r, m, cb = plan_rmc
+    seqlen = u.shape[-1]
+    f32 = jnp.float32
+    lp = (r // 2) * m
+    dy = dy.astype(f32)
+
+    du = _pallas_conv_apply(dy, k, D, fft_size, plan_rmc, conj_filter=True)
+    du = du[..., :seqlen]
+
+    pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
+    u_in = jnp.pad(u.astype(f32), pad) if pad else u.astype(f32)
+    dy_in = jnp.pad(dy, pad) if pad else dy
+    pr, pi = _pf.fftconv_fused_dk_spec(u_in, dy_in, r, m, cb,
+                                       interpret=PALLAS_FFTCONV_INTERPRET)
+    c = k.shape[0]
+    back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(c, r * m)
+    dk = ifft_chain_real(back(pr), back(pi), fft_size)[..., :seqlen]
+    dk = dk.reshape(k.shape)
+
+    D_arr = jnp.asarray(D)
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 

@@ -1,0 +1,276 @@
+"""Pallas TPU kernel: fully-fused FFT convolution (FlashFFTConv for the MXU).
+
+The XLA matmul-FFT conv (`ops/fftconv.py`, chain formulation) runs each DFT
+pass as a separate HLO, so every pass round-trips the (rows, N) spectrum
+through HBM — ~4.5 GB per conv at the 32k bench shape, ~36% of HBM peak,
+with the MXU idle between passes. This kernel runs the ENTIRE conv
+
+    pad -> DFT_r -> twiddle -> DFT_m -> bin-multiply with the filter
+    spectrum -> conj DFT_m -> conj twiddle -> conj DFT_r (real part) -> +u*D
+
+inside one program per (channel-block, batch) grid cell, holding the
+spectrum in VMEM: HBM sees only u in and y out (plus the per-channel filter
+spectrum, reused across the batch grid dim). This is the adaptation of
+FlashFFTConv (arXiv 2311.05908) to the TPU memory hierarchy, replacing the
+reference's fftconv CUDA extension (`/root/reference/csrc/fftconv/`,
+`/root/reference/src/ops/fftconv.py:15-55`).
+
+Structure exploited:
+  * causal zero-padding means the time grid's rows a >= r/2 are zero, so the
+    first DFT contracts K=r/2 (half the matrix) and the final inverse pass
+    emits only the first r/2 output rows;
+  * the filter spectrum is precomputed once per call (C rows, cheap in XLA)
+    and laid out (r, C, m) so the kernel multiplies it in place;
+  * interior math is f32 in VMEM (better accuracy than the XLA path's bf16
+    interior) with bf16 MXU dot inputs;
+  * every dot is a plain 2D matmul — the (r, CB, m) <-> (r*CB, m) views are
+    contiguous minor-dim merges, free in VMEM.
+
+Forward and input-gradient share one kernel (du = inv(dy_f * conj(k_f)) +
+dy*D is the same computation with a conjugated filter spectrum); the filter
+gradient accumulates sum_b dy_f * conj(u_f) across the sequential batch
+grid dim into the output block, with the cheap C-row inverse done in XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dft_consts(r: int, m: int, n: int):
+    """All matrices the kernel needs, f32: forward half-DFT_r, DFT_m,
+    twiddle, and their conjugated/normalized inverses."""
+    import numpy as np
+
+    a = np.arange(r)
+    ang_r = -2.0 * np.pi / r * (a[:, None] * a[None, :])
+    fr_re, fr_im = np.cos(ang_r), np.sin(ang_r)
+    b = np.arange(m)
+    ang_m = -2.0 * np.pi / m * (b[:, None] * b[None, :])
+    fm_re, fm_im = np.cos(ang_m), np.sin(ang_m)
+    ang_t = -2.0 * np.pi / n * (a[:, None] * b[None, :])
+    tw_re, tw_im = np.cos(ang_t), np.sin(ang_t)
+    r2 = r // 2
+    consts = dict(
+        fr_re=fr_re[:, :r2],  # (r, r2): time rows a >= r/2 are zero
+        fr_im=fr_im[:, :r2],
+        fm_re=fm_re,  # (q, b) == (b, q): F is symmetric
+        fm_im=fm_im,
+        tw_re=tw_re,  # (r, m)
+        tw_im=tw_im,
+        cm_re=fm_re / m,  # conj(F_m)/m
+        cm_im=-fm_im / m,
+        cr_re=fr_re[:r2, :] / r,  # (r2, r): only the first r/2 time rows
+        cr_im=-fr_im[:r2, :] / r,
+    )
+    return {k: jnp.asarray(v, jnp.float32) for k, v in consts.items()}
+
+
+_CONST_KEYS = ("fr_re", "fr_im", "fm_re", "fm_im", "tw_re", "tw_im",
+               "cm_re", "cm_im", "cr_re", "cr_im")
+
+
+# MXU dot input dtype and VMEM interior storage dtype; tests may set f32 to
+# separate structure from rounding. bf16 interiors keep the per-program
+# working set inside VMEM at cb=8 (the (8,128) block rule forces cb>=8).
+_DOT_DTYPE = jnp.bfloat16
+_STORE_DTYPE = jnp.bfloat16
+
+
+def _mm(a, b):
+    """(M, K) @ (K, N) -> f32-accumulated product stored as _STORE_DTYPE."""
+    return jax.lax.dot_general(
+        a.astype(_DOT_DTYPE),
+        b.astype(_DOT_DTYPE),
+        dimension_numbers=((((1,), (0,))), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(_STORE_DTYPE)
+
+
+def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi):
+    """(CB, Lp) real -> digit-permuted spectrum pair, each (r, CB, m),
+    stored in _STORE_DTYPE throughout."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    x = x.astype(st)
+    xt = jnp.transpose(x.reshape(cb, r2, m), (1, 0, 2)).reshape(r2, cb * m)
+    # pass 1: contract the (half) major digit -> (r, CB*m)
+    gr = _mm(frr[:], xt)
+    gi = _mm(fri[:], xt)
+    # twiddle W_n^{pb}: broadcast over CB via the (r, CB, m) view
+    tr = twr[:].astype(st)[:, None, :]
+    ti = twi[:].astype(st)[:, None, :]
+    g3r = gr.reshape(r, cb, m)
+    g3i = gi.reshape(r, cb, m)
+    g3r, g3i = g3r * tr - g3i * ti, g3r * ti + g3i * tr
+    gr = g3r.reshape(r * cb, m)
+    gi = g3i.reshape(r * cb, m)
+    # pass 2: contract b with F_m (symmetric) -> (r*CB, m[q])
+    zr = _mm(gr, fmr[:]) - _mm(gi, fmi[:])
+    zi = _mm(gr, fmi[:]) + _mm(gi, fmr[:])
+    return zr.reshape(r, cb, m), zi.reshape(r, cb, m)
+
+
+def _conv_kernel(u_ref, ksr_ref, ksi_ref, d_ref,
+                 frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                 y_ref, *, r: int, m: int):
+    """One (channel-block, batch) program: full causal conv for CB rows."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    cb = u_ref.shape[1]
+    u = u_ref[0]  # (CB, Lp), Lp = r2*m
+    zr, zi = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi)
+
+    # bin-wise multiply with the filter spectrum (r, CB, m)
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (zr * kr - zi * ki).reshape(r * cb, m)
+    wi = (zr * ki + zi * kr).reshape(r * cb, m)
+
+    # inverse pass 1: contract q with conj(F_m)/m -> (r, CB, m[b])
+    hr = _mm(wr, cmr[:]) - _mm(wi, cmi[:])
+    hi = _mm(wr, cmi[:]) + _mm(wi, cmr[:])
+    # conj twiddle
+    tr = twr[:].astype(st)[:, None, :]
+    ti = twi[:].astype(st)[:, None, :]
+    h3r = hr.reshape(r, cb, m)
+    h3i = hi.reshape(r, cb, m)
+    h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
+    # inverse pass 2: contract p with conj(F_r)/r, REAL part only
+    # (r2, r) @ (r, CB*m) -> (r2, CB, m)
+    yr = _mm(crr[:], h3r.reshape(r, cb * m)) - _mm(cri[:], h3i.reshape(r, cb * m))
+
+    y = jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    y = y.astype(jnp.float32) + u.astype(jnp.float32) * d_ref[:, 0][:, None]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def fftconv_fused_fwd(u, ks_r, ks_i, D, r: int, m: int, cb: int,
+                      interpret: bool = False):
+    """Causal conv of u with the filter whose digit-permuted spectrum
+    (layout (r, C, m)) is (ks_r, ks_i), plus u*D.
+
+    u: (B, C, Lp) with Lp = (r//2)*m; returns (B, C, Lp) in u.dtype.
+    """
+    bsz, c, lp = u.shape
+    assert lp == (r // 2) * m, (lp, r, m)
+    assert c % cb == 0
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[k] for k in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_conv_kernel, r=r, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),  # batch innermost: filter/const blocks stay put
+        in_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            # D rides as a (C, 128) tile: Mosaic needs the minor block dim
+            # to be 128-divisible (or the full array dim)
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+        interpret=interpret,
+    )(u, ks_r, ks_i, jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
+
+
+def _spec_accum_kernel(u_ref, dy_ref,
+                       frr, fri, fmr, fmi, twr, twi,
+                       or_ref, oi_ref, *, r: int, m: int):
+    """Accumulate sum_b dy_f * conj(u_f) over the (sequential, innermost)
+    batch grid dim into the (r, CB, m) output block."""
+    bi = pl.program_id(1)
+    cb = u_ref.shape[1]
+    ur, ui = _fwd_transform(u_ref[0].astype(jnp.float32), cb, r, m,
+                            frr, fri, fmr, fmi, twr, twi)
+    dr, di = _fwd_transform(dy_ref[0].astype(jnp.float32), cb, r, m,
+                            frr, fri, fmr, fmi, twr, twi)
+    # dy_f * conj(u_f), accumulated in f32
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        or_ref[:] = pr
+        oi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        or_ref[:] = or_ref[:] + pr
+        oi_ref[:] = oi_ref[:] + pi
+
+
+def fftconv_fused_dk_spec(u, dy, r: int, m: int, cb: int,
+                          interpret: bool = False):
+    """(r, C, m) f32 pair: sum_b dy_f * conj(u_f) in the kernel's permuted
+    spectrum layout. The caller runs the cheap C-row inverse in XLA."""
+    bsz, c, lp = u.shape
+    consts = _dft_consts(r, m, r * m)
+    keys = ("fr_re", "fr_im", "fm_re", "fm_im", "tw_re", "tw_im")
+    vals = [consts[k] for k in keys]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_spec_accum_kernel, r=r, m=m)
+    return pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),
+        in_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(u, dy, *vals)
+
+
+# channel-block sizes keeping the per-program VMEM working set ~<= 8 MB
+_CB_BY_N = {1 << 16: 8, 1 << 17: 4, 1 << 18: 2}
+
+
+def plan(n: int, c: int, seqlen: int, chain):
+    """(r, m, cb) if the fused kernel supports this conv, else None."""
+    if len(chain) != 2:
+        return None
+    r, m = chain
+    if r * m != n or r % 2:
+        return None
+    cb = _CB_BY_N.get(n)
+    if cb is None:
+        return None
+    while cb > 1 and c % cb:
+        cb //= 2
+    if c % cb or seqlen > (r // 2) * m:
+        return None
+    return r, m, cb

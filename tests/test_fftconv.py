@@ -398,3 +398,49 @@ def test_fft_chain_ri_matches_complex():
         finally:
             F.CHAIN_OVERRIDE.pop(n, None)
     F.MXU_SPECTRUM_DTYPE = old_sd
+
+def test_pallas_fused_fftconv_fwd_bwd_parity():
+    """The fully-fused Pallas conv kernel (interpret mode) matches the rfft
+    conv in forward and all three gradients."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    PF = importlib.import_module("hyena_dna_tpu.ops.pallas_fftconv")
+    rng = np.random.default_rng(23)
+    u = jnp.asarray(rng.normal(size=(2, 4, 2048)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(4, 2048)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    ref_y = F.fftconv(u, k, D, False)
+    ref_g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+    old = (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET)
+    old_dot = (PF._DOT_DTYPE, PF._STORE_DTYPE)
+    F._use_mxu_fft = lambda n, rows=1: n >= 4096
+    F.MXU_SPECTRUM_DTYPE = None
+    F.PALLAS_FFTCONV_INTERPRET = True
+    PF._CB_BY_N[4096] = 2
+    # structure check in full f32; bf16 covered separately below
+    PF._DOT_DTYPE = PF._STORE_DTYPE = jnp.float32
+    try:
+        plan = F._pallas_conv_plan(u, k, 4096, False)
+        assert plan == (64, 64, 2), plan
+        y = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=2e-3, rtol=1e-3)
+        g = jax.grad(lambda *a: jnp.sum(F.fftconv(*a, False) ** 2),
+                     argnums=(0, 1, 2))(u, k, D)
+        for a, b, name in zip(g, ref_g, ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+        # bf16 dots+storage (the TPU configuration): bounded relative error
+        PF._DOT_DTYPE = PF._STORE_DTYPE = jnp.bfloat16
+        y16 = F.fftconv(u, k, D, False)
+        scale = float(np.abs(np.asarray(ref_y)).max())
+        err = float(np.abs(np.asarray(y16) - np.asarray(ref_y)).max()) / scale
+        assert err < 3e-2, f"bf16 kernel error too large: {err}"
+    finally:
+        F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET = old
+        PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
+        PF._CB_BY_N.pop(4096, None)
