@@ -179,18 +179,27 @@ class HyenaFilter(fnn.Module):
         if not self.use_bias:
             bias = jnp.zeros_like(bias)
 
-        from hyena_dna_tpu.ops.fftconv import fftconv_chunked
+        from hyena_dna_tpu.ops.fftconv import fftconv_aliased, fftconv_chunked
 
         c = k.shape[0]
         bias_arr = jnp.asarray(bias)
         if bias_arr.size == c:
             if x.ndim == 3 and x.shape[-2] == c:
-                y = fftconv_chunked(x, k, bias_arr.reshape(c), False)
+                if k.shape[-1] > x.shape[-1]:
+                    # kernel longer than signal (num_blocks > 1): the conv is
+                    # circular at exactly 2L with kernel aliasing, as in the
+                    # reference (`hyena.py:77` + torch rfft crop semantics)
+                    y = fftconv_aliased(x, k, bias_arr.reshape(c))
+                else:
+                    y = fftconv_chunked(x, k, bias_arr.reshape(c), False)
                 return y.astype(x.dtype)
             if x.ndim == 5 and x.shape[-3] == c:
                 b, ho, _, z, l = x.shape
                 xt = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b * ho * z, c, l)
-                y = fftconv_chunked(xt, k, bias_arr.reshape(c), False)
+                if k.shape[-1] > l:
+                    y = fftconv_aliased(xt, k, bias_arr.reshape(c))
+                else:
+                    y = fftconv_chunked(xt, k, bias_arr.reshape(c), False)
                 y = jnp.transpose(y.reshape(b, ho, z, c, l), (0, 1, 3, 2, 4))
                 return y.astype(x.dtype)
         y = fftconv(x, k, bias, False)

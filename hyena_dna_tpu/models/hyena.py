@@ -125,7 +125,9 @@ class HyenaOperator(fnn.Module):
         if self.post_order_ffn:
             self.ord_proj_w = self.param(
                 "ord_proj_w",
-                lambda key, shape: jax.random.normal(key, shape)
+                lambda key, shape, dtype=jnp.float32: jax.random.normal(
+                    key, shape, dtype
+                )
                 / math.sqrt(self.head_dim),
                 (self.order, self.num_heads, self.num_heads),
                 jnp.float32,
@@ -190,6 +192,10 @@ class HyenaOperator(fnn.Module):
             # chunked convs bound the FFT workspace at long L
             return self._tail_3d(uc, l_filter, deterministic, distributed=False)
 
+        # generic path: multi-head / multi-block / outer_mixing /
+        # post_order_ffn / l > l_max
+        return self._tail_generic(uc, l_filter, deterministic)
+
     def _front_3d(self, u: jax.Array) -> jax.Array:
         """proj -> transpose -> short conv on (B, L, d) -> (B, (o+1)d, L),
         optionally under its own jax.checkpoint (inner_remat)."""
@@ -207,7 +213,34 @@ class HyenaOperator(fnn.Module):
             front = jax.checkpoint(front)
         return front(u, w, b, wsf, bsf)
 
-        # (B, heads, head_dim*(o+1), blocks, L)
+    def _tail_generic(self, uc: jax.Array, l_filter: int, deterministic: bool):
+        """Multi-head / multi-block recurrence on the short-conv output.
+
+        uc: (B, (order+1)*d_model, l_filter) -> (B, num_blocks*l_chunk, d_model).
+
+        Parity with the reference forward (`hyena.py:396-443`): the channel
+        axis reshapes to (heads, head_dim*(order+1)) and the sequence axis to
+        (num_blocks, l_filter/num_blocks); each block convolves independently
+        against the shared (truncated) filter, as in the reference where the
+        fft over the block length crops the full-length kernel.
+
+        Two conscious deviations from reference *code* (not behavior):
+          * the reference splits the per-head channel axis with chunk size
+            ``d_model`` (`hyena.py:404`), which for num_heads > 1 produces
+            unequal chunks and crashes in the gating multiply; we split into
+            (order+1) equal head_dim chunks — the semantics its own rearrange
+            comments describe.
+          * inner_factor > 1 is rejected: the reference's in_proj emits
+            (order+1)*d_model channels while its short_filter expects
+            inner_factor*(order+1)*d_model (`hyena.py:352-365`), so that
+            configuration cannot run there either.
+        """
+        if self.inner_factor != 1:
+            raise NotImplementedError(
+                "inner_factor > 1 is inconsistent in the reference "
+                "(in_proj/short_filter width mismatch) and unsupported here"
+            )
+        # (B, heads, head_dim*(o+1), blocks, L/blocks)
         b = uc.shape[0]
         z = self.num_blocks
         ho = self.num_heads
@@ -230,16 +263,20 @@ class HyenaOperator(fnn.Module):
 
         for i, x_i in enumerate(reversed(x[1:])):
             if self.outer_mixing:
+                # v -> (B, ho, 1, hd, z, l); x_i -> (B, ho, hd, 1, z, l);
+                # sum over the x_i channel axis (`hyena.py:415-418`)
                 v = v[:, :, None] * x_i[:, :, :, None]
                 v = self.drop(v, deterministic=deterministic).sum(axis=2)
             else:
                 v = self.drop(v * x_i, deterministic=deterministic)
             # bias broadcast: (1, hd, 1) against v (B, ho, hd, z, L) without L
-            v = self.filter_fn(v, l_filter, k=k[i], bias=bias[i, None, :, None])
+            v = self.filter_fn(v, l_filter // z, k=k[i], bias=bias[i, None, :, None])
 
             if self.post_order_ffn:
+                # reference mul_sum sums over the FIRST head index of
+                # ord_proj_w (`hyena.py:425-429,91-93`): v'[h2] = sum_h1 w[h1,h2] v[h1]
                 w = self.ord_proj_w[i]  # (h1, h2)
-                v = jnp.einsum("ij,bjvzl->bivzl", w, v)
+                v = jnp.einsum("ji,bjvzl->bivzl", w.astype(v.dtype), v)
 
         y = v * x[0]  # final gate
         # (B, h, v, z, l) -> (B, z*l, h*v)

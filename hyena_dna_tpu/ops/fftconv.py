@@ -427,6 +427,28 @@ def fftconv_h3(
     return out.reshape(b, -1, seqlen).astype(v.dtype)
 
 
+def fftconv_aliased(u: jax.Array, k: jax.Array, D: jax.Array) -> jax.Array:
+    """FFT conv where the (C, Lk) kernel may be LONGER than the (..., C, L)
+    signal: computed on an exactly-2L circular transform, so kernel taps in
+    [L, 2L) alias into the output — matching the reference's behavior for
+    num_blocks > 1 (`/root/reference/src/models/sequence/hyena.py:59-88`
+    with torch.fft.rfft's crop-at-n semantics at `hyena.py:77`, where each
+    sequence block sees the full-length filter through a 2*(L/z) FFT).
+
+    Plain jnp autodiff (no custom VJP): this path only serves the exotic
+    multi-block configuration at short block lengths.
+    """
+    seqlen = u.shape[-1]
+    fft_size = 2 * seqlen  # reference-exact: aliasing depends on this size
+    f32 = jnp.float32
+    k_f = _rfft(k.astype(f32)[..., :fft_size], n=fft_size)
+    u_f = _rfft(u.astype(f32), n=fft_size)
+    y = _irfft(u_f * _expand_k(k_f, u.ndim), n=fft_size)[..., :seqlen]
+    if D is not None:
+        y = y + u.astype(f32) * jnp.asarray(D, f32)[..., None]
+    return y.astype(u.dtype)
+
+
 # ---------------------------------------------------------------------------
 # channel-chunked variant for long-context memory control
 # ---------------------------------------------------------------------------

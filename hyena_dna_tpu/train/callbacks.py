@@ -77,7 +77,8 @@ class ParamsLog(Callback):
         trainable = sum(
             int(np.prod(v.shape))
             for path, v in flat.items()
-            if labels.get(path) != "frozen" and path not in (frozen_labels or ())
+            if labels.get(path) != "frozen"
+            and (frozen_labels or {}).get(path) != "frozen"
         )
         trainer.log({
             "params/total": total,
@@ -119,6 +120,10 @@ class ModelCheckpoint(Callback):
         base = self.dirpath or (trainer.run_dir + "/checkpoints")
         value = metrics.get(self.monitor)
         step = int(trainer.global_step)
+        # validation runs at epoch end, before trainer.epoch increments:
+        # record epoch+1 so a resume continues with the NEXT epoch instead
+        # of silently replaying the one that just finished
+        next_epoch = trainer.epoch + 1
         if value is not None:
             better = self.best is None or (
                 value < self.best if self.mode == "min" else value > self.best
@@ -128,14 +133,15 @@ class ModelCheckpoint(Callback):
                 save_checkpoint(
                     base + "/best", trainer.state, step,
                     loader_state=trainer.loader_state(),
-                    metadata={"monitor": self.monitor, "value": float(value)},
+                    metadata={"monitor": self.monitor, "value": float(value),
+                              "epoch": next_epoch},
                     keep=1,
                 )
         if self.save_last:
             save_checkpoint(
                 base + "/last", trainer.state, step,
                 loader_state=trainer.loader_state(),
-                metadata={"epoch": trainer.epoch},
+                metadata={"epoch": next_epoch},
                 keep=1,
             )
 

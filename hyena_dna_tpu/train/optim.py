@@ -136,8 +136,9 @@ def _label_for_path(path: tuple[str, ...]) -> str:
             # conv D-skip bias: plain param; bias => no decay
             return "no_decay"
         if leaf == "freq":
-            # Sin freq is a plain nn.Parameter in the reference (main group)
-            return "main"
+            # the reference attaches `_optim` to every implicit_filter child
+            # parameter incl. Sin.freq (`hyena.py:224-227`): filter lr, wd 0
+            return "filter"
         return "filter"  # implicit-MLP kernels/biases
     if leaf == "bias" or any(s in joined for s in NO_DECAY_SUBSTRINGS):
         return "no_decay"
@@ -178,12 +179,17 @@ def build_optimizer(
     modulation_lr: float = 0.0,
     scheduler: Optional[dict] = None,
     gradient_clip_val: Optional[float] = 1.0,
+    frozen: Optional[Dict[tuple, Any]] = None,
 ) -> tuple[optax.GradientTransformation, Any]:
     """Returns (optimizer, label_tree).
 
     `scheduler` is e.g. {"_name_": "cosine_warmup_timm", "t_initial": ...};
     the schedule shape is shared across groups but anchored at each group's
     own base lr, like timm scaling every param-group lr.
+
+    `frozen`: optional flat {param_path: "frozen"|None} overrides (from the
+    load_backbone hook's freeze_backbone) — "frozen" paths get zero updates,
+    the reference's requires_grad=False (`long_conv_lm.py:612-621`).
     """
     sched_cfg = dict(scheduler or {"_name_": "constant"})
     sched_name = sched_cfg.pop("_name_", "constant")
@@ -200,8 +206,15 @@ def build_optimizer(
         "filter": make(lr if filter_lr is None else filter_lr, filter_wd),
         "pos_emb": make(lr_pos_emb, 0.0),
         "modulation": make(modulation_lr, 0.0),
+        "frozen": optax.set_to_zero(),
     }
     labels = label_params(params)
+    if frozen:
+        flat = traverse_util.flatten_dict(labels)
+        for path, lab in frozen.items():
+            if lab == "frozen" and path in flat:
+                flat[path] = "frozen"
+        labels = traverse_util.unflatten_dict(flat)
     tx = optax.multi_transform(transforms, labels)
     if gradient_clip_val:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)

@@ -28,6 +28,67 @@ import jax
 import jax.numpy as jnp
 
 
+def optax_global_norm(tree) -> jax.Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def _train_step_core(task, accum, model_kwargs, state, batch, rng):
+    """Unjitted single-step body shared by make_train_step/multistep."""
+    x, y = batch[0], batch[1]
+    extra = batch[2] if len(batch) > 2 else {}
+
+    def loss_fn(params, apply_fn, x, y, rng, extra):
+        out = apply_fn({"params": params}, x, deterministic=False,
+                       rngs={"dropout": rng}, **extra, **model_kwargs)
+        logits = out[0] if isinstance(out, tuple) else out
+        loss = task.compute_loss(logits, y, train=True)
+        stats = task.loss_stats(logits, y)
+        return loss, stats
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if accum == 1:
+        (loss, stats), grads = grad_fn(state.params, state.apply_fn, x, y, rng, extra)
+    else:
+        b = x.shape[0]
+        micro = b // accum
+        xs = x.reshape(accum, micro, *x.shape[1:])
+        ys = y.reshape(accum, micro, *y.shape[1:])
+        extras = jax.tree_util.tree_map(
+            lambda e: e.reshape(accum, micro, *e.shape[1:]), extra)
+        rngs = jax.random.split(rng, accum)
+
+        def body(carry, inp):
+            grads_acc, loss_acc, stats_acc = carry
+            xm, ym, r, em = inp
+            (loss, stats), grads = grad_fn(state.params, state.apply_fn, xm, ym, r, em)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            stats_acc = (jax.tree_util.tree_map(jnp.add, stats_acc, stats)
+                         if stats is not None else None)
+            return (grads_acc, loss_acc + loss, stats_acc), None
+
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        # probe the aux structure at trace time (no compute)
+        aux_shape = jax.eval_shape(
+            lambda p: loss_fn(p, state.apply_fn, xs[0], ys[0], rngs[0],
+                              jax.tree_util.tree_map(lambda e: e[0], extras)),
+            state.params)[1]
+        zero_stats = (jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
+            if aux_shape is not None else None)
+        (grads, loss_sum, stats), _ = jax.lax.scan(
+            body, (zero_grads, jnp.zeros(()), zero_stats), (xs, ys, rngs, extras))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+        loss = loss_sum / accum
+
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
+    if stats is not None:
+        metrics["nll_sum"], metrics["token_count"] = stats
+    return new_state, metrics
+
+
 def make_train_step(
     task,
     accumulate_grad_batches: int = 1,
@@ -40,85 +101,11 @@ def make_train_step(
     model_kwargs = dict(model_kwargs or {})
     accum = accumulate_grad_batches
 
-    def loss_fn(params, apply_fn, x, y, rng, extra):
-        out = apply_fn(
-            {"params": params},
-            x,
-            deterministic=False,
-            rngs={"dropout": rng},
-            **extra,
-            **model_kwargs,
-        )
-        logits = out[0] if isinstance(out, tuple) else out
-        loss = task.compute_loss(logits, y, train=True)
-        stats = task.loss_stats(logits, y)
-        return loss, stats
-
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
-        x, y = batch[0], batch[1]
-        extra = batch[2] if len(batch) > 2 else {}
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-        if accum == 1:
-            (loss, stats), grads = grad_fn(state.params, state.apply_fn, x, y, rng, extra)
-        else:
-            b = x.shape[0]
-            micro = b // accum
-            xs = x.reshape(accum, micro, *x.shape[1:])
-            ys = y.reshape(accum, micro, *y.shape[1:])
-            extras = jax.tree_util.tree_map(
-                lambda e: e.reshape(accum, micro, *e.shape[1:]), extra
-            )
-            rngs = jax.random.split(rng, accum)
-
-            def body(carry, inp):
-                grads_acc, loss_acc, stats_acc = carry
-                xm, ym, r, em = inp
-                (loss, stats), grads = grad_fn(state.params, state.apply_fn, xm, ym, r, em)
-                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-                stats_acc = (
-                    jax.tree_util.tree_map(jnp.add, stats_acc, stats)
-                    if stats is not None
-                    else None
-                )
-                return (grads_acc, loss_acc + loss, stats_acc), None
-
-            zero_grads = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-            )
-            # probe the aux structure at trace time (no compute)
-            aux_shape = jax.eval_shape(
-                lambda p: loss_fn(
-                    p, state.apply_fn, xs[0], ys[0], rngs[0],
-                    jax.tree_util.tree_map(lambda e: e[0], extras),
-                ),
-                state.params,
-            )[1]
-            zero_stats = (
-                jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
-                if aux_shape is not None
-                else None
-            )
-            (grads, loss_sum, stats), _ = jax.lax.scan(
-                body, (zero_grads, jnp.zeros(()), zero_stats), (xs, ys, rngs, extras)
-            )
-            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-            loss = loss_sum / accum
-
-        new_state = state.apply_gradients(grads)
-        metrics = {"loss": loss}
-        if stats is not None:
-            metrics["nll_sum"], metrics["token_count"] = stats
-        metrics["grad_norm"] = optax_global_norm(grads)
-        return new_state, metrics
+        return _train_step_core(task, accum, model_kwargs, state, batch, rng)
 
     return train_step
-
-
-def optax_global_norm(tree) -> jax.Array:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
 
 
 def make_eval_step(
@@ -181,58 +168,3 @@ def make_multistep_train_step(
         return state, metrics
 
     return multistep
-
-
-def _train_step_core(task, accum, model_kwargs, state, batch, rng):
-    """Unjitted single-step body shared by make_train_step/multistep."""
-    x, y = batch[0], batch[1]
-    extra = batch[2] if len(batch) > 2 else {}
-
-    def loss_fn(params, apply_fn, x, y, rng, extra):
-        out = apply_fn({"params": params}, x, deterministic=False,
-                       rngs={"dropout": rng}, **extra, **model_kwargs)
-        logits = out[0] if isinstance(out, tuple) else out
-        loss = task.compute_loss(logits, y, train=True)
-        stats = task.loss_stats(logits, y)
-        return loss, stats
-
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    if accum == 1:
-        (loss, stats), grads = grad_fn(state.params, state.apply_fn, x, y, rng, extra)
-    else:
-        b = x.shape[0]
-        micro = b // accum
-        xs = x.reshape(accum, micro, *x.shape[1:])
-        ys = y.reshape(accum, micro, *y.shape[1:])
-        extras = jax.tree_util.tree_map(
-            lambda e: e.reshape(accum, micro, *e.shape[1:]), extra)
-        rngs = jax.random.split(rng, accum)
-
-        def body(carry, inp):
-            grads_acc, loss_acc, stats_acc = carry
-            xm, ym, r, em = inp
-            (loss, stats), grads = grad_fn(state.params, state.apply_fn, xm, ym, r, em)
-            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
-            stats_acc = (jax.tree_util.tree_map(jnp.add, stats_acc, stats)
-                         if stats is not None else None)
-            return (grads_acc, loss_acc + loss, stats_acc), None
-
-        zero_grads = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        aux_shape = jax.eval_shape(
-            lambda p: loss_fn(p, state.apply_fn, xs[0], ys[0], rngs[0],
-                              jax.tree_util.tree_map(lambda e: e[0], extras)),
-            state.params)[1]
-        zero_stats = (jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype), aux_shape)
-            if aux_shape is not None else None)
-        (grads, loss_sum, stats), _ = jax.lax.scan(
-            body, (zero_grads, jnp.zeros(()), zero_stats), (xs, ys, rngs, extras))
-        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
-        loss = loss_sum / accum
-
-    new_state = state.apply_gradients(grads)
-    metrics = {"loss": loss, "grad_norm": optax_global_norm(grads)}
-    if stats is not None:
-        metrics["nll_sum"], metrics["token_count"] = stats
-    return new_state, metrics

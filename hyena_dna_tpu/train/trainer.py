@@ -282,6 +282,20 @@ class Trainer:
             )
             self.frozen_labels = info.get("frozen")
             self.state = self.state.replace(params=params)
+            if self.frozen_labels and any(
+                v == "frozen" for v in self.frozen_labels.values()
+            ):
+                # the optimizer was built before the hook ran: rebuild it with
+                # the frozen paths mapped to zero updates, else "frozen"
+                # backbone params would keep receiving full AdamW steps
+                tx, _ = build_optimizer(
+                    self.state.params, frozen=self.frozen_labels, **self.tx_kwargs
+                )
+                sample = jnp.zeros(self._sample_batch_shape(), jnp.int32)
+                state = create_train_state(
+                    self.model, tx, self.rng, sample, params=self.state.params
+                )
+                self.state = commit_state_to_mesh(state, self.mesh)
             self.log({"pretrained/loaded_tensors": info["loaded"]})
 
     # ------------------------------------------------------------------
@@ -323,10 +337,12 @@ class Trainer:
         val_loader = self.datamodule.val_dataloader()
 
         ckpt = self.train_cfg.get("ckpt")
+        pending_loader_state = None
         if ckpt:
             self.state, loader_state, meta = restore_checkpoint(ckpt, self.state)
             self.epoch = int(meta.get("epoch", 0))
             self.global_step = int(self.state.step)
+            pending_loader_state = loader_state or None
             self.log({"resumed_from": ckpt})
 
         for cb in self.callbacks:
@@ -343,6 +359,20 @@ class Trainer:
                     self.datamodule.batch_size * self.accumulate_grad_batches
                 )
                 val_loader = self.datamodule.val_dataloader()
+                if pending_loader_state:
+                    # resume the data stream (O(1) fast-forward)
+                    self._train_loader.load_state_dict(pending_loader_state)
+                    pending_loader_state = None
+            # trainer epoch is the source of truth for the data order: a
+            # step-bounded (limit_train_batches) epoch abandons iteration
+            # before the loader's own end-of-epoch increment runs, and a
+            # checkpoint taken then carries a stale loader epoch — without
+            # this sync every such epoch would replay permutation(seed, 0)
+            tl = self._train_loader
+            if tl.epoch != self.epoch:
+                tl.epoch = self.epoch
+                tl.batches_served = 0
+                tl._resume_pending = False
             ppl.reset()
             epoch_t0 = time.perf_counter()
             tokens = 0

@@ -138,6 +138,113 @@ def test_hyena_operator_grads_finite():
     assert len(zero_names) == 0, f"zero grads: {zero_names}"
 
 
+def _run_generic_parity(mod_kwargs, oracle_kwargs, seed=0, batch=2, L=None, d=None):
+    """Init the operator, run it, and compare against the torch oracle."""
+    mod = HyenaOperator(**mod_kwargs)
+    L = L or mod_kwargs["l_max"]
+    d = d or mod_kwargs["d_model"]
+    u = jnp.asarray(
+        np.random.default_rng(seed).standard_normal((batch, L, d)), jnp.float32
+    )
+    variables = mod.init(jax.random.PRNGKey(seed), u)
+    y = mod.apply(variables, u)
+    assert y is not None, "HyenaOperator returned None (dead generic path)"
+
+    oracle_params = _operator_params_to_oracle(variables["params"])
+    if mod_kwargs.get("post_order_ffn"):
+        oracle_params["ord_proj_w"] = np.asarray(variables["params"]["ord_proj_w"])
+    y_t = hyena_operator_oracle(
+        oracle_params, torch.as_tensor(np.asarray(u)), **oracle_kwargs
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(y), y_t, rtol=1e-3, atol=1e-4)
+    return mod, variables, u
+
+
+def test_hyena_operator_multi_head():
+    """num_heads > 1: per-head gating with a head_dim-wide shared filter
+    (reference hyena.py:396-412)."""
+    d, L = 32, 128
+    _run_generic_parity(
+        dict(d_model=d, l_max=L, order=2, filter_order=32, num_heads=4,
+             filter_cfg=dict(emb_dim=5, w=10)),
+        dict(order=2, d_model=d, l_max=L, emb_dim=5, num_heads=4),
+    )
+
+
+def test_hyena_operator_multi_block():
+    """num_blocks > 1: block-diagonal sequence chunking where each block
+    convolves against the full-length (aliased) filter (hyena.py:396-402)."""
+    d, L = 16, 128  # block length 128/2 = 64, power of two
+    _run_generic_parity(
+        dict(d_model=d, l_max=L, order=2, filter_order=32, num_blocks=2,
+             filter_cfg=dict(emb_dim=5, w=10)),
+        dict(order=2, d_model=d, l_max=L, emb_dim=5, num_blocks=2),
+    )
+
+
+def test_hyena_operator_heads_and_blocks_order3():
+    d, L = 24, 128
+    _run_generic_parity(
+        dict(d_model=d, l_max=L, order=3, filter_order=32, num_heads=2,
+             num_blocks=2, filter_cfg=dict(emb_dim=3, w=1)),
+        dict(order=3, d_model=d, l_max=L, emb_dim=3, num_heads=2, num_blocks=2),
+        seed=3,
+    )
+
+
+def test_hyena_operator_outer_mixing():
+    d, L = 16, 64
+    _run_generic_parity(
+        dict(d_model=d, l_max=L, order=2, filter_order=16, outer_mixing=True,
+             filter_cfg=dict(emb_dim=3, w=1)),
+        dict(order=2, d_model=d, l_max=L, emb_dim=3, outer_mixing=True),
+        seed=4,
+    )
+
+
+def test_hyena_operator_post_order_ffn():
+    d, L = 32, 64
+    _run_generic_parity(
+        dict(d_model=d, l_max=L, order=3, filter_order=16, num_heads=4,
+             post_order_ffn=True, filter_cfg=dict(emb_dim=3, w=1)),
+        dict(order=3, d_model=d, l_max=L, emb_dim=3, num_heads=4,
+             post_order_ffn=True),
+        seed=5,
+    )
+
+
+def test_hyena_operator_input_longer_than_lmax():
+    """l > l_max: output truncates to l_max (reference l_filter = min(l, l_max))."""
+    d, L = 16, 64
+    mod = HyenaOperator(d_model=d, l_max=L, order=2, filter_order=16,
+                        filter_cfg=dict(emb_dim=3, w=1))
+    u = jnp.asarray(
+        np.random.default_rng(6).standard_normal((1, L + 32, d)), jnp.float32
+    )
+    variables = mod.init(jax.random.PRNGKey(6), u)
+    y = mod.apply(variables, u)
+    assert y is not None and y.shape == (1, L, d)
+    oracle_params = _operator_params_to_oracle(variables["params"])
+    y_t = hyena_operator_oracle(
+        oracle_params, torch.as_tensor(np.asarray(u)), 2, d, L, emb_dim=3
+    ).numpy()
+    np.testing.assert_allclose(np.asarray(y), y_t, rtol=1e-3, atol=1e-4)
+
+
+def test_hyena_operator_multi_head_grads_finite():
+    d, L = 16, 64
+    mod = HyenaOperator(d_model=d, l_max=L, order=2, filter_order=16,
+                        num_heads=2, num_blocks=2, filter_cfg=dict(emb_dim=3))
+    u = jnp.asarray(np.random.default_rng(7).standard_normal((1, L, d)), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(7), u)
+
+    def loss(params):
+        return jnp.sum(mod.apply({"params": params}, u) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree_util.tree_leaves(g))
+
+
 def test_inner_remat_parity():
     """inner_remat changes memory scheduling, not math."""
     import jax

@@ -113,6 +113,9 @@ def test_param_labels_cover_filter_groups():
             assert lab == "modulation", joined
         if "filter_fn" in path and "mlp" in joined:
             assert lab == "filter", joined
+        if "filter_fn" in path and path[-1] == "freq":
+            # reference trains Sin.freq at the filter lr/wd (hyena.py:224-227)
+            assert lab == "filter", joined
         if path[-1] == "kernel" and "filter_fn" not in path:
             assert lab == "main", joined
 

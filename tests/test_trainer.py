@@ -134,7 +134,85 @@ def test_resume_from_checkpoint(tmp_path, tiny_genome):
     cfg2["trainer"]["max_epochs"] = 3
     t2 = Trainer(cfg2)
     t2.fit()
-    assert int(t2.state.step) > step_after
+    # resume continues with EXACTLY the remaining epoch (not a replay of the
+    # finished one): 2 epochs done, max 3 => one epoch of extra steps
+    steps_per_epoch = step_after // 2
+    assert int(t2.state.step) == step_after + steps_per_epoch
+    assert t2.epoch == 3
+
+
+def test_limit_train_batches_advances_data_order(tmp_path, tiny_genome):
+    """Step-bounded epochs must still advance the loader's epoch (and hence
+    the shuffle permutation) — regression test for the silent data replay."""
+    fa, bed = tiny_genome
+    cfg = _lm_config(tmp_path, fa, bed)
+    cfg["trainer"]["limit_train_batches"] = 2
+    cfg["trainer"]["max_epochs"] = 3
+    cfg["callbacks"] = {}
+    seen_epochs = []
+    t = Trainer(cfg)
+    orig_shard = t._shard
+
+    def record_shard(batch):
+        seen_epochs.append(t._train_loader.epoch)
+        return orig_shard(batch)
+
+    t._shard = record_shard
+    t.fit()
+    assert sorted(set(seen_epochs)) == [0, 1, 2], seen_epochs
+
+
+def test_freeze_backbone_freezes(tmp_path, tiny_genome, tiny_benchmark):
+    """freeze_backbone must stop optimizer updates to backbone params while
+    the scratch head keeps training (reference long_conv_lm.py:612-621)."""
+    import jax
+    from flax import traverse_util
+
+    fa, bed = tiny_genome
+    lm_cfg = _lm_config(tmp_path, fa, bed)
+    lm_cfg["trainer"]["max_epochs"] = 1
+    t1 = Trainer(lm_cfg)
+    t1.fit()
+    ckpt = str(Path(lm_cfg["train"]["run_dir"]) / "checkpoints" / "last")
+
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "frz_run"),
+                  "pretrained_model_path": ckpt,
+                  "pretrained_model_state_hook": {"_name_": "load_backbone",
+                                                  "freeze_backbone": True}},
+        "mesh": {"data": 2},
+        "trainer": {"max_epochs": 1, "precision": "32"},
+        "dataset": {"_name_": "genomic_benchmark", "dataset_name": "toy_task",
+                    "dest_path": str(tiny_benchmark), "d_output": 2,
+                    "batch_size": 8, "max_length": 32},
+        "task": {"_name_": "multiclass", "loss": "cross_entropy",
+                 "metrics": ["accuracy"]},
+        "model": {"_name_": "dna_embedding", "d_model": 32, "n_layer": 2,
+                  "d_inner": 128, "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 66, "w": 10}},
+        "decoder": {"_name_": "sequence", "mode": "pool", "l_output": 0},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {},
+    }
+    t2 = Trainer(cfg)
+    before = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.array, t2.state.params)
+    )
+    t2.fit()
+    after = traverse_util.flatten_dict(
+        jax.tree_util.tree_map(np.array, t2.state.params)
+    )
+    backbone_changed = [
+        "/".join(p) for p in before
+        if p[0] == "backbone" and not np.array_equal(before[p], after[p])
+    ]
+    head_changed = [
+        "/".join(p) for p in before
+        if p[0] != "backbone" and not np.array_equal(before[p], after[p])
+    ]
+    assert not backbone_changed, f"frozen backbone params moved: {backbone_changed[:5]}"
+    assert head_changed, "scratch head received no updates"
 
 
 # --------------------------------------------------------------------------

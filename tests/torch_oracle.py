@@ -84,12 +84,14 @@ def short_conv_oracle(x, w, b):
 
 
 def hyena_operator_oracle(params, u, order, d_model, l_max, emb_dim,
-                          num_heads=1, num_blocks=1, activation="id"):
+                          num_heads=1, num_blocks=1, activation="id",
+                          outer_mixing=False, post_order_ffn=False):
     """Full Hyena operator forward given numpy weights.
 
     params: in_proj_w ((o+1)d, d), in_proj_b; short_w (C, K), short_b (C,);
     filter params as in hyena_filter_oracle prefixed 'filter_'; filter_bias
-    ((o-1)*head_dim,); out_proj_w (d, d), out_proj_b (d,).
+    ((o-1)*head_dim,); out_proj_w (d, d), out_proj_b (d,); ord_proj_w
+    (order, h, h) when post_order_ffn.
     u: (B, L, d) torch tensor.
     """
     t = lambda name: torch.as_tensor(params[name]).float()
@@ -113,8 +115,18 @@ def hyena_operator_oracle(params, u, order, d_model, l_max, emb_dim,
     bias = t("filter_bias").reshape(head_dim, order - 1).permute(1, 0)
 
     for o, x_i in enumerate(reversed(x[1:])):
-        v = v * x_i
+        if outer_mixing:
+            # outer product over the channel axis, summed over the x_i index
+            # (reference hyena.py:415-418)
+            v = (v.unsqueeze(2) * x_i.unsqueeze(3)).sum(dim=2)
+        else:
+            v = v * x_i
         v = fftconv_oracle(v, k_full[o], bias[o, None, :, None])
+        if post_order_ffn:
+            # mul_sum(w (1,h1,h2,1,1,1), v (b,h1,1,v,z,l)).sum(dim=1):
+            # v'[h2] = sum_h1 w[h1,h2] v[h1]  (reference hyena.py:425-429,91-93)
+            w = t("ord_proj_w")[o]  # (h1, h2)
+            v = torch.einsum("ji,bjvzl->bivzl", w, v)
 
     y = v * x[0]
     y = y.permute(0, 3, 4, 1, 2).reshape(b, l_filter, num_heads * head_dim)
