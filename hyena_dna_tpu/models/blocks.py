@@ -72,14 +72,29 @@ def make_mixer(
         "modulate",
         "linear_mixer",
         "bidirectional",
+        # modulation-window kwargs: the reference threads these through
+        # HyenaFilter **kwargs into ExponentialModulation (`hyena.py:202`).
+        # NOTE the reference ships two defaults for `shift`: 0.0 in
+        # `src/models/sequence/hyena.py:142` but 0.05 in the checkpoint-loading
+        # `standalone_hyenadna.py:140` — configs must state it explicitly for
+        # published-weight parity.
+        "shift",
+        "fast_decay_pct",
+        "slow_decay_pct",
+        "target",
     )
     filter_cfg = dict(cfg.pop("filter_args", {}) or {})
     filter_cfg.pop("seq_len", None)  # derived from l_max by HyenaOperator
     filter_cfg.pop("order", None)  # filter_order flows separately
+    filter_cfg.pop("modulation_lr", None)  # deltas lr: frozen either way
     for key in filter_keys:
         if key in cfg:
             val = cfg.pop(key)
-            target = {"bias": "use_bias"}.get(key, key)
+            target = {
+                "bias": "use_bias",
+                "shift": "modulation_shift",
+                "target": "modulation_target",
+            }.get(key, key)
             filter_cfg[target] = val
     cfg.pop("filter_cls", None)
     return HyenaOperator(

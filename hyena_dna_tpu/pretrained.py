@@ -118,6 +118,10 @@ def from_pretrained(
     layer = dict(cfg.get("layer") or {})
     layer.pop("fused_fft_conv", None)
     layer.pop("fused_bias_fc", None)
+    # published checkpoints are loaded by standalone_hyenadna.py, whose
+    # ExponentialModulation defaults to shift=0.05 (`standalone_hyenadna.py:140`
+    # — differs from src/.../hyena.py:142's 0.0); match it unless configured
+    layer.setdefault("shift", 0.05)
     cfg["layer"] = layer
 
     model = HyenaDNAModel(use_head=use_head, n_classes=n_classes, dtype=dtype, **cfg)

@@ -11,6 +11,10 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
+
+ensure_tpu_flags()  # before TPU backend init: Pallas scoped-vmem budget
+
 from hyena_dna_tpu.train.trainer import Trainer
 
 def _enable_compile_cache():

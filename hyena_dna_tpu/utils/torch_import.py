@@ -138,6 +138,12 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
                 raise KeyError(f"unmapped mixer key: {raw} ({rest})")
             continue
 
+        # --- classification head (standalone_hyenadna.py:869-905 use_head) ---
+        if re.search(r"\bhead\.output_transform\.(weight|bias)$", key):
+            leaf = "kernel" if key.endswith("weight") else "bias"
+            put(f"head/output_transform/{leaf}", val.T if leaf == "kernel" else val)
+            continue
+
         # --- MLP ---
         if re.search(r"\bmlp\.fc[12]\.(weight|bias)$", key):
             m = re.match(r"(.*)\.mlp\.(fc[12])\.(weight|bias)$", key)

@@ -23,9 +23,12 @@ CONFIG = {
     "layer_norm_epsilon": 1e-5,
     "pad_vocab_size_multiple": 8,
     "residual_in_fp32": True,
+    # shift explicit: from_pretrained defaults it to 0.05 (the
+    # standalone_hyenadna.py loader default) when absent
     "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
               "short_filter_order": 3, "l_max": 66, "modulate": True,
-              "w": 10, "lr": 6e-4, "wd": 0.0, "lr_pos_emb": 0.0},
+              "w": 10, "lr": 6e-4, "wd": 0.0, "lr_pos_emb": 0.0,
+              "shift": 0.05},
 }
 
 
