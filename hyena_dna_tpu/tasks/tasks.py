@@ -137,10 +137,29 @@ class MulticlassTask(BaseTask):
         return logits, y.reshape(-1)
 
 
+class AdaptiveLMTask(LMTask):
+    """LM task over `adaptive_lm` models (`src/tasks/tasks.py:332-379`).
+
+    The reference task owns the AdaptiveEmbedding encoder and the
+    ProjectedAdaptiveLogSoftmax loss as parametered modules; here those live
+    in `models.adaptive_softmax.AdaptiveLMModel` (flax params must sit in the
+    model tree), which emits normalized log-probs — so the standard
+    cross-entropy path is exact (log_softmax is idempotent) and this task is
+    the plain LMTask under a distinct registry name. Encoder/loss hyper-args
+    are accepted and ignored so reference-style task configs load unchanged
+    (the model section carries them)."""
+
+    def __init__(self, *args, div_val=None, cutoffs=None, tie_weights=None,
+                 tie_projs=None, init_scale=None, bias_scale=None, dropemb=None,
+                 dropsoft=None, **kwargs):
+        super().__init__(*args, **kwargs)
+
+
 TASK_REGISTRY: Dict[str, type] = {
     "base": BaseTask,
     "lm": LMTask,
     "hg38": HG38Task,
+    "adaptive_lm": AdaptiveLMTask,
     "multiclass": MulticlassTask,
     "masked_multiclass": MulticlassTask,  # mask flows through kwargs
 }

@@ -26,6 +26,8 @@ MODEL_REGISTRY: Dict[str, Callable] = {
     "lm_simple": _lazy("hyena_dna_tpu.models", "ConvLMHeadModel"),  # no flash-attn split needed
     "dna_embedding": _lazy("hyena_dna_tpu.models", "DNAEmbeddingModel"),
     "model": _lazy("hyena_dna_tpu.models.sequence_model", "SequenceModel"),
+    # AdaptiveLMTask assembly (`src/tasks/tasks.py:332-379`) as one module
+    "adaptive_lm": _lazy("hyena_dna_tpu.models.adaptive_softmax", "AdaptiveLMModel"),
 }
 
 LAYER_REGISTRY: Dict[str, Callable] = {

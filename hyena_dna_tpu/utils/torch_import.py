@@ -144,6 +144,14 @@ def convert_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
             put(f"head/output_transform/{leaf}", val.T if leaf == "kernel" else val)
             continue
 
+        # --- fine-tune decoder head (Lightning `decoder.0.output_transform`,
+        # evals/hg38_inference_decoder.py:151-155) ---
+        m = re.match(r"decoder\.0\.output_transform\.(weight|bias)$", key)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            put(f"decoder/output_transform/{leaf}", val.T if leaf == "kernel" else val)
+            continue
+
         # --- MLP ---
         if re.search(r"\bmlp\.fc[12]\.(weight|bias)$", key):
             m = re.match(r"(.*)\.mlp\.(fc[12])\.(weight|bias)$", key)

@@ -126,6 +126,78 @@ def test_adaptive_logsoftmax_no_cutoffs_matches_dense():
 
 
 # --------------------------------------------------------------------------
+# AdaptiveLMModel (tied adaptive encoder + softmax, `tasks.py:332-379`)
+# --------------------------------------------------------------------------
+
+
+def _adaptive_lm(tie_weights=True):
+    from hyena_dna_tpu.models.adaptive_softmax import AdaptiveLMModel
+
+    return AdaptiveLMModel(
+        n_token=12, d_model=16, cutoffs=[4, 8], div_val=2,
+        tie_weights=tie_weights,
+        backbone=dict(n_layers=1, layer={"_name_": "ff", "expand": 2},
+                      track_norms=False),
+    )
+
+
+def test_adaptive_lm_normalized_and_tied():
+    model = _adaptive_lm()
+    x = jnp.asarray([[1, 5, 9, 0], [11, 3, 7, 2]], jnp.int32)
+    params = model.init(RNG, x)["params"]
+    lp, _ = model.apply({"params": params}, x)
+    assert lp.shape == (2, 4, 12)
+    np.testing.assert_allclose(np.exp(np.asarray(lp)).sum(-1), 1.0, rtol=1e-5)
+    # tie_weights: no separate out_emb params; tails reuse emb_i
+    assert not any(k.startswith("out_emb") for k in params)
+    # default tie_projs: head untied (out_proj_0 exists when div_val>1),
+    # tails tied (no out_proj_1/2)
+    assert "out_proj_0" in params and "out_proj_1" not in params
+
+    untied = _adaptive_lm(tie_weights=False)
+    p2 = untied.init(RNG, x)["params"]
+    assert any(k.startswith("out_emb") for k in p2)
+
+
+def test_adaptive_lm_task_trains():
+    """adaptive_lm registry entry + LM cross-entropy reduces loss."""
+    import optax
+
+    from hyena_dna_tpu.tasks.tasks import TASK_REGISTRY
+    from hyena_dna_tpu.utils.registry import MODEL_REGISTRY
+
+    model = MODEL_REGISTRY["adaptive_lm"](
+        n_token=12, d_model=16, cutoffs=[4, 8], div_val=2,
+        backbone=dict(n_layers=1, layer={"_name_": "ff", "expand": 2},
+                      track_norms=False),
+    )
+    task = TASK_REGISTRY["adaptive_lm"](div_val=2, cutoffs=[4, 8],
+                                        tie_weights=True, tie_projs=[False, True, True])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, 12, (4, 16)), jnp.int32)
+    y = jnp.roll(x, -1, axis=1)
+    params = model.init(RNG, x)["params"]
+    tx = optax.adam(1e-2)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            lp, _ = model.apply({"params": p}, x)
+            return task.compute_loss(lp, y)
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), opt, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt, loss = step(params, opt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses[::10]
+
+
+# --------------------------------------------------------------------------
 # DCT
 # --------------------------------------------------------------------------
 
