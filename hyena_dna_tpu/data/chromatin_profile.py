@@ -7,10 +7,12 @@ coordinates + boolean targets from a CSV with columns `Chr_No` (0-based),
 to `max_length`; '.'-padding past chromosome edges; sequence uppercased
 before tokenization.
 
-hg19->hg38 liftover (reference `convert_coordinates`, needs the `liftover`
-package) is not bundled; coordinates must match the reference genome version
-(the reference saves converted CSVs once, so the hg38 CSV is the common
-input anyway).
+hg19->hg38 liftover (reference `convert_coordinates`, `:227-260`) is
+performed natively via `data.liftover.ChainFile` when the genome is hg38 but
+the CSV is labelled hg19: pass `liftover_chain_path` (a local
+`hg19ToHg38.over.chain(.gz)`), unmapped/resized windows are filtered exactly
+as the reference does, and `save_liftover=True` writes the converted CSV
+next to the input so conversion runs once.
 """
 
 from __future__ import annotations
@@ -36,6 +38,8 @@ class ChromatinProfileDataset:
         use_padding: bool = True,
         add_eos: bool = False,
         rc_aug: bool = False,
+        liftover_chain_path: Optional[str] = None,
+        save_liftover: bool = False,
     ):
         assert max_length % 2 == 0, "window must be divisible by 2"
         self.max_length = max_length
@@ -47,15 +51,26 @@ class ChromatinProfileDataset:
         fname = str(coords_target_path).rsplit("/", 1)[-1]
         if ref_genome_version not in ("hg19", "hg38"):
             raise ValueError('ref_genome_version must be "hg19" or "hg38"')
-        if ref_genome_version not in fname:
-            raise ValueError(
-                f"coordinate file {fname!r} does not match genome version "
-                f"{ref_genome_version!r}; run the reference liftover once and "
-                f"point at the converted CSV"
-            )
 
         self.ref_genome = FastaInterval(fasta_file=ref_genome_path, pad_interval=True)
         self._load_csv(coords_target_path)
+        if ref_genome_version not in fname:
+            if ref_genome_version == "hg38" and "hg19" in fname:
+                # translate coordinates once (`chromatin_profile_dataset.py:227-260`)
+                if liftover_chain_path is None:
+                    raise ValueError(
+                        'hg19 coordinates with an hg38 genome need '
+                        '`liftover_chain_path` (a local hg19ToHg38.over.chain[.gz])'
+                    )
+                self._convert_coordinates(liftover_chain_path)
+                if save_liftover:
+                    self._save_csv(
+                        str(coords_target_path).replace("hg19", "hg38"))
+            else:
+                raise ValueError(
+                    f"coordinate file {fname!r} does not match genome version "
+                    f"{ref_genome_version!r}"
+                )
         # widen the 1000bp windows to max_length (`:176-178`)
         pad = (max_length - 1000) // 2
         self.coords[:, 1] -= pad
@@ -75,6 +90,44 @@ class ChromatinProfileDataset:
         self.coords = np.asarray(coords, dtype=np.int64)
         self.targets = np.asarray(targets, dtype=np.int32)
         self.d_output = self.targets.shape[1]
+
+    def _convert_coordinates(self, chain_path: str):
+        """hg19 -> hg38 via the native ChainFile; drop unmapped rows and
+        rows whose lifted window is no longer exactly 1000bp (reference
+        filters, `:241-256`)."""
+        from hyena_dna_tpu.data.liftover import ChainFile
+
+        chain = ChainFile(chain_path)
+        n = len(self.coords)
+        new_start = np.full(n, -1, np.int64)
+        new_end = np.full(n, -1, np.int64)
+        for chr_no in np.unique(self.coords[:, 0]):
+            rows = np.nonzero(self.coords[:, 0] == chr_no)[0]
+            chrom = f"chr{chr_no + 1}"  # Chr_No is 0-based (`:209`)
+            s, s_ok = chain.convert_batch(chrom, self.coords[rows, 1])
+            e, e_ok = chain.convert_batch(chrom, self.coords[rows, 2])
+            ok = s_ok & e_ok
+            new_start[rows] = np.where(ok, s, -999)
+            new_end[rows] = np.where(ok, e, -999)
+        keep = (new_start != -999) & (new_end - new_start == 1000)
+        n_unmapped = int((new_start == -999).sum())
+        self.coords = np.stack(
+            [self.coords[keep, 0], new_start[keep], new_end[keep]], axis=1
+        )
+        self.targets = self.targets[keep]
+        print(
+            f"liftover: filtered {n_unmapped} unmapped + "
+            f"{n - n_unmapped - int(keep.sum())} resized windows; "
+            f"{int(keep.sum())} samples remain"
+        )
+
+    def _save_csv(self, path: str):
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["Chr_No", "Start", "End"]
+                       + [f"y_{i}" for i in range(self.targets.shape[1])])
+            for c, t in zip(self.coords, self.targets):
+                w.writerow([int(c[0]), int(c[1]), int(c[2])] + t.tolist())
 
     def close(self):
         self.ref_genome.close()

@@ -191,8 +191,9 @@ def fftconv_ref(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax.Array:
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False,
+            save_spectra: bool = True) -> jax.Array:
     """Causal FFT long conv with skip: y = gelu?(conv(u, k) + u*D).
 
     u: (..., C, L); k: (C, L); D broadcastable against u once an L axis is
@@ -208,11 +209,9 @@ def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False) -> jax
 # overlaps the recompute well, so the residual traffic only adds memory
 # pressure. Left disabled; when enabled, saving is suppressed inside the
 # channel-chunk scan (`fftconv_chunked`), where per-chunk residuals would
-# STACK across scan iterations (41 GB at 450k when first tried).
+# STACK across scan iterations (41 GB at 450k when first tried) — the
+# chunk-scan body passes save_spectra=False explicitly.
 SAVE_SPECTRA_MAX_BYTES = 0
-_SPECTRA_SAVE_OK = True  # cleared while tracing the chunk-scan body
-
-
 def _spectrum_nbytes(shape, fft_size):
     import numpy as _np
 
@@ -291,10 +290,10 @@ def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
     return y[..., :seqlen]
 
 
-def _fftconv_fwd(u, k, D, gelu):
+def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
-    save = (
+    save = save_spectra and (
         _spectrum_nbytes(u.shape, fft_size) + _spectrum_nbytes(k.shape, fft_size)
         <= SAVE_SPECTRA_MAX_BYTES
     )
@@ -312,8 +311,8 @@ def _fftconv_fwd(u, k, D, gelu):
         krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
         y = ifft_chain_real(ur * krb - ui * kib, ur * kib + ui * krb,
                             fft_size)[..., :seqlen]
-        u_f = (ur, ui) if save and _SPECTRA_SAVE_OK else None
-        k_f = (kr, ki) if save and _SPECTRA_SAVE_OK else None
+        u_f = (ur, ui) if save else None
+        k_f = (kr, ki) if save else None
     elif fft_size >= TWO_STEP_FFT_MIN:
         u_f = fft_2step(u.astype(f32), fft_size)
         k_f = fft_2step(k.astype(f32), fft_size)
@@ -331,7 +330,7 @@ def _fftconv_fwd(u, k, D, gelu):
     return y, res
 
 
-def _fftconv_bwd(gelu, res, dy):
+def _fftconv_bwd(gelu, save_spectra, res, dy):
     u, k, D, u_f_saved, k_f_saved = res
     seqlen = u.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
@@ -491,6 +490,16 @@ def fftconv_chunked(
     assert u.ndim == 3, "chunked path expects (B, C, L)"
     b, c, l = u.shape
     block = channel_block or fftconv_chunk_size(c, l)
+    if channel_block is None and block < c and not gelu:
+        # the fused Pallas conv bounds its own VMEM working set via the
+        # channel-block grid, so the HBM-workspace chunking is pure overhead
+        # when it engages (32k bench: 2-chunk scan 206 ms/step -> unchunked
+        # 183 ms); only chunk sizes the kernel can't take (no plan / rows
+        # over the MXU budget).
+        fft_size = next_fast_fft_size(2 * l)
+        if (_use_mxu_fft(fft_size, _rows(u.shape))
+                and _pallas_conv_plan(u, k, fft_size, gelu) is not None):
+            block = c
     if block >= c:
         return fftconv(u, k, D, gelu)
     n = c // block
@@ -500,15 +509,10 @@ def fftconv_chunked(
 
     def body(_, inp):
         uu, kk, dd = inp
-        return None, fftconv(uu, kk, dd, gelu)
+        # save_spectra=False: per-chunk residuals would stack across the scan
+        return None, fftconv(uu, kk, dd, gelu, False)
 
-    global _SPECTRA_SAVE_OK
-    old_save = _SPECTRA_SAVE_OK
-    _SPECTRA_SAVE_OK = False  # per-chunk residuals would stack across the scan
-    try:
-        _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
-    finally:
-        _SPECTRA_SAVE_OK = old_save
+    _, y = jax.lax.scan(body, None, (u_c, k_c, D_c))
     return jnp.moveaxis(y, 0, 1).reshape(b, c, l)
 
 

@@ -70,45 +70,64 @@ with jax.profiler.trace(trace_dir):
         state, loss = step(state, x, y)
     float(loss)
 
-# parse trace.json.gz: sum device-lane op durations
+# parse trace.json.gz: SELF-time per op on device lanes (events nest; a
+# parent's self time = dur - sum(direct children))
 paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True))
 ev = json.loads(gzip.open(paths[-1]).read())["traceEvents"]
-# find TPU device pids (track names like "/device:TPU:0" or "TPU core")
 dev_pids = set()
 for e in ev:
     if e.get("ph") == "M" and e.get("name") == "process_name":
         nm = e["args"].get("name", "")
         if "TPU" in nm and "host" not in nm.lower():
             dev_pids.add(e["pid"])
-buckets = defaultdict(float)
-total = 0.0
+
+lanes = defaultdict(list)
 for e in ev:
     if e.get("ph") == "X" and e.get("pid") in dev_pids and e.get("dur"):
-        nm = e.get("name", "")
-        if nm.startswith(("fusion", "loop_fusion")):
-            key = "elementwise-fusion"
-        elif "custom-call" in nm or "tpu_custom_call" in nm:
-            key = "pallas"
-        elif nm.startswith(("dot", "convolution")) or "matmul" in nm:
-            key = "matmul"
-        elif nm.startswith("fft"):
-            key = "fft"
-        elif nm.startswith(("copy", "transpose", "bitcast")):
-            key = "copy/transpose"
-        else:
-            key = "other"
-        buckets[key] += e["dur"]
-        total += e["dur"]
+        lanes[(e["pid"], e.get("tid"))].append(e)
+
+self_time = defaultdict(float)
+for lane in lanes.values():
+    lane.sort(key=lambda e: (e["ts"], -e["dur"]))
+    stack = []  # (end_ts, event, child_sum)
+    for e in lane:
+        ts, dur = e["ts"], e["dur"]
+        while stack and ts >= stack[-1][0] - 1e-9:
+            end, pe, csum = stack.pop()
+            self_time[pe["name"]] += pe["dur"] - csum
+        if stack:
+            stack[-1][2] += dur
+        stack.append([ts + dur, e, 0.0])
+    while stack:
+        end, pe, csum = stack.pop()
+        self_time[pe["name"]] += pe["dur"] - csum
+
+def bucket(nm):
+    if nm.startswith(("fusion", "loop_fusion", "input_fusion", "output_fusion")):
+        return "fusion"
+    if "custom-call" in nm or "tpu_custom_call" in nm or "custom_call" in nm:
+        return "pallas"
+    if nm.startswith(("dot", "convolution")) or "matmul" in nm:
+        return "matmul"
+    if nm.startswith("fft"):
+        return "fft"
+    if nm.startswith(("copy", "transpose", "bitcast", "reshape")):
+        return "copy/transpose"
+    if nm.startswith(("while", "body", "condition")) or nm[:1].isdigit():
+        return "loop-overhead"
+    if nm.startswith("jit_"):
+        return "dispatch-gap"
+    return "other"
+
 n_steps = 3
+buckets = defaultdict(float)
+for nm, v in self_time.items():
+    buckets[bucket(nm)] += v
+total = sum(buckets.values())
 for k, v in sorted(buckets.items(), key=lambda kv: -kv[1]):
     print(f"{k:24s} {v/1e3/n_steps:8.1f} ms/step  {100*v/total:5.1f}%")
 print(f"{'TOTAL device':24s} {total/1e3/n_steps:8.1f} ms/step")
 
-# top individual ops
-ops = defaultdict(float)
-for e in ev:
-    if e.get("ph") == "X" and e.get("pid") in dev_pids and e.get("dur"):
-        ops[e.get("name", "")] += e["dur"]
-print("\ntop ops:")
-for k, v in sorted(ops.items(), key=lambda kv: -kv[1])[:15]:
-    print(f"  {v/1e3/n_steps:8.2f} ms/step  {k[:100]}")
+print("\ntop ops (self time):")
+for k, v in sorted(self_time.items(), key=lambda kv: -kv[1])[:25]:
+    print(f"  {v/1e3/n_steps:8.2f} ms/step  {k[:110]}")

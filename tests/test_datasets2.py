@@ -81,6 +81,97 @@ def test_chromatin_profile_version_mismatch(chromatin_fixture):
 
 
 # --------------------------------------------------------------------------
+# liftover (native UCSC chain-file converter)
+# --------------------------------------------------------------------------
+
+
+def _write_chain(path, lines):
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_chainfile_forward_and_gaps(tmp_path):
+    from hyena_dna_tpu.data.liftover import ChainFile
+
+    # chr1: [100, 150) -> [200, 250); gap of 10 on target, 5 on query;
+    # then [160, 200) -> [255, 295)
+    chain = tmp_path / "t.chain"
+    _write_chain(chain, [
+        "chain 1000 chr1 3000 + 100 200 chr1 4000 + 200 295 1",
+        "50 10 5",
+        "40",
+    ])
+    cf = ChainFile(str(chain))
+    assert cf.convert("chr1", 100) == ("chr1", 200, "+")
+    assert cf.convert("chr1", 149) == ("chr1", 249, "+")
+    assert cf.convert("chr1", 155) is None  # inside the gap
+    assert cf.convert("chr1", 160) == ("chr1", 255, "+")
+    assert cf.convert("chr1", 199) == ("chr1", 294, "+")
+    assert cf.convert("chr1", 200) is None  # past chain end
+    assert cf.convert("chr2", 100) is None  # unknown chromosome
+
+    pos, ok = cf.convert_batch("chr1", np.asarray([100, 149, 155, 160, 5000]))
+    np.testing.assert_array_equal(pos, [200, 249, -1, 255, -1])
+    np.testing.assert_array_equal(ok, [True, True, False, True, False])
+
+
+def test_chainfile_negative_strand(tmp_path):
+    from hyena_dna_tpu.data.liftover import ChainFile
+
+    # q on '-' strand: strand-pos 10..30 map to qSize-1-sp = 989..969
+    chain = tmp_path / "t.chain"
+    _write_chain(chain, [
+        "chain 1000 chr1 3000 + 50 70 chrX 1000 - 10 30 2",
+        "20",
+    ])
+    cf = ChainFile(str(chain))
+    assert cf.convert("chr1", 50) == ("chrX", 989, "-")
+    assert cf.convert("chr1", 69) == ("chrX", 970, "-")
+
+
+def test_chromatin_liftover_end_to_end(tmp_path):
+    """hg19-labelled CSV + hg38 genome + chain shifting everything by +37:
+    rows lift, one unmappable row is filtered, saved CSV is hg38-labelled."""
+    rng = np.random.default_rng(1)
+    genome = {"chr1": "".join(rng.choice(list("ACGT"), size=4000))}
+    fa = tmp_path / "genome.fa"
+    _write_fasta(fa, genome)
+    csv_path = tmp_path / "train_hg19_coords_targets.csv"
+    with open(csv_path, "w") as f:
+        f.write("Chr_No,Start,End,y_a,y_b\n")
+        f.write("0,500,1500,1,0\n")
+        f.write("0,700,1700,0,1\n")
+        f.write("0,2600,3600,1,1\n")  # end falls outside the chain -> dropped
+    chain = tmp_path / "hg19ToHg38.over.chain"
+    _write_chain(chain, [
+        "chain 1000 chr1 4000 + 0 3000 chr1 4000 + 37 3037 1",
+        "3000",
+    ])
+    ds = ChromatinProfileDataset(
+        max_length=1000,
+        ref_genome_path=str(fa),
+        ref_genome_version="hg38",
+        coords_target_path=str(csv_path),
+        liftover_chain_path=str(chain),
+        save_liftover=True,
+    )
+    assert len(ds) == 2
+    np.testing.assert_array_equal(ds.coords[:, 1], [537, 737])
+    x, y = ds[0]
+    assert ds.tokenizer.decode(x) == genome["chr1"][537:1537]
+    np.testing.assert_array_equal(y, [1, 0])
+    # saved converted CSV reloads directly as hg38
+    saved = tmp_path / "train_hg38_coords_targets.csv"
+    assert saved.exists()
+    ds2 = ChromatinProfileDataset(
+        max_length=1000, ref_genome_path=str(fa), ref_genome_version="hg38",
+        coords_target_path=str(saved),
+    )
+    assert len(ds2) == 2
+    np.testing.assert_array_equal(ds2.coords, ds.coords)
+
+
+# --------------------------------------------------------------------------
 # species
 # --------------------------------------------------------------------------
 
