@@ -144,7 +144,8 @@ class HG38Dataset:
             max_length=self.max_length,
             truncation=True,
         )
-        ids = out["input_ids"]
+        # HF fast tokenizers (the BPE route) return lists; char returns arrays
+        ids = np.asarray(out["input_ids"])
         if self.replace_N_token:
             n_id = self.tokenizer.get_vocab()["N"]
             ids = np.where(ids == n_id, self.tokenizer.pad_token_id, ids)
@@ -190,7 +191,8 @@ class HG38FixedDataset:
             max_length=self.pad_max_length,
             truncation=True,
         )
-        ids = out["input_ids"]
+        # HF fast tokenizers (the BPE route) return lists; char returns arrays
+        ids = np.asarray(out["input_ids"])
         if self.add_eos:
             ids = np.concatenate([ids, [self.tokenizer.sep_token_id]]).astype(np.int32)
         return ids[:-1].astype(np.int32), ids[1:].astype(np.int32)

@@ -143,7 +143,13 @@ class Mlp(fnn.Module):
 
 
 class Block(fnn.Module):
-    """Prenorm residual block: dropout -> add -> LN -> mixer/MLP."""
+    """Prenorm residual block: dropout -> add -> LN -> mixer/MLP.
+
+    Split into `pre` (boundary -> post-mixer residual) and `post` (residual
+    -> MLP output) so the backbone's residual-only remat mode can re-cut
+    checkpoint cells at the residual stream: the boundary hidden state is
+    `mlp(norm2(residual))`, a pure function of the stored residual, so only
+    the residual needs saving per layer (halves remat memory at long L)."""
 
     d_model: int
     layer_cfg: Optional[dict] = None
@@ -159,25 +165,12 @@ class Block(fnn.Module):
     dtype: Any = jnp.float32
     mesh: Any = None
 
-    @fnn.compact
-    def __call__(
-        self,
-        hidden_states: jax.Array,
-        residual: Optional[jax.Array] = None,
-        deterministic: bool = True,
-    ) -> Tuple[jax.Array, jax.Array]:
+    def setup(self):
         norm_dtype = jnp.float32  # LN params + compute in fp32
-        dropped = fnn.Dropout(rate=self.resid_dropout1, name="dropout1")(
-            hidden_states, deterministic=deterministic
-        )
-        residual = (dropped + residual) if residual is not None else dropped
-        hidden_states = fnn.LayerNorm(
-            epsilon=self.layer_norm_epsilon, dtype=norm_dtype, name="norm1"
-        )(residual.astype(norm_dtype)).astype(self.dtype)
-        if self.residual_in_fp32:
-            residual = residual.astype(jnp.float32)
-
-        mixer = make_mixer(
+        self.dropout1 = fnn.Dropout(rate=self.resid_dropout1)
+        self.norm1 = fnn.LayerNorm(epsilon=self.layer_norm_epsilon,
+                                   dtype=norm_dtype)
+        self.mixer = make_mixer(
             self.d_model,
             self.layer_cfg,
             self.attn_cfg,
@@ -185,26 +178,62 @@ class Block(fnn.Module):
             self.n_layer,
             self.dtype,
             mesh=self.mesh,
+            name=None,  # setup: name comes from the attribute
         )
-        out = mixer(hidden_states, deterministic)
-        hidden_states = out[0] if isinstance(out, tuple) else out
-
         if not self.identity_mlp:
-            dropped = fnn.Dropout(rate=self.resid_dropout2, name="dropout2")(
-                hidden_states, deterministic=deterministic
-            )
-            residual = dropped + residual
-            hidden_states = fnn.LayerNorm(
-                epsilon=self.layer_norm_epsilon, dtype=norm_dtype, name="norm2"
-            )(residual.astype(norm_dtype)).astype(self.dtype)
-            if self.residual_in_fp32:
-                residual = residual.astype(jnp.float32)
-
-            hidden_states = Mlp(
+            self.dropout2 = fnn.Dropout(rate=self.resid_dropout2)
+            self.norm2 = fnn.LayerNorm(epsilon=self.layer_norm_epsilon,
+                                       dtype=norm_dtype)
+            self.mlp = Mlp(
                 hidden_features=self.d_inner or 4 * self.d_model,
                 n_layer=self.n_layer,
                 dtype=self.dtype,
-                name="mlp",
-            )(hidden_states)
+            )
 
-        return hidden_states, residual
+    def pre(
+        self,
+        hidden_states: jax.Array,
+        residual: Optional[jax.Array],
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """dropout -> add -> norm1 -> mixer -> dropout -> add: from the block
+        boundary to the post-mixer residual (requires an MLP block)."""
+        assert not self.identity_mlp
+        dropped = self.dropout1(hidden_states, deterministic=deterministic)
+        residual = (dropped + residual) if residual is not None else dropped
+        hidden_states = self.norm1(residual.astype(jnp.float32)).astype(self.dtype)
+        if self.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+        out = self.mixer(hidden_states, deterministic)
+        hidden_states = out[0] if isinstance(out, tuple) else out
+        dropped = self.dropout2(hidden_states, deterministic=deterministic)
+        residual = dropped + residual
+        if self.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+        return residual
+
+    def post(self, residual: jax.Array) -> jax.Array:
+        """norm2 -> mlp: recompute the boundary hidden state from the
+        post-mixer residual."""
+        assert not self.identity_mlp
+        hidden = self.norm2(residual.astype(jnp.float32)).astype(self.dtype)
+        return self.mlp(hidden)
+
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        residual: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jax.Array, jax.Array]:
+        if self.identity_mlp:
+            dropped = self.dropout1(hidden_states, deterministic=deterministic)
+            residual = (dropped + residual) if residual is not None else dropped
+            hidden_states = self.norm1(
+                residual.astype(jnp.float32)).astype(self.dtype)
+            if self.residual_in_fp32:
+                residual = residual.astype(jnp.float32)
+            out = self.mixer(hidden_states, deterministic)
+            hidden_states = out[0] if isinstance(out, tuple) else out
+            return hidden_states, residual
+        residual = self.pre(hidden_states, residual, deterministic)
+        return self.post(residual), residual

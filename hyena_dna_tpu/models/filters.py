@@ -142,9 +142,23 @@ class HyenaFilter(fnn.Module):
                 (1, 1, self.d_model),
             )
 
-    def filter(self, L: int) -> jax.Array:
-        """Generate the length-L filter bank: (1, L, d_model), float32."""
+    def filter(self, L: int, anchor: jax.Array | None = None,
+               out_dtype=jnp.float32) -> jax.Array:
+        """Generate the length-L filter bank: (1, L, d_model), `out_dtype`
+        (math runs f32; a bf16 out_dtype lets XLA fuse the cast into the
+        final elementwise pass so no f32 (L, d) bank is ever materialized —
+        at 1M tokens each such bank is 977 MB).
+
+        `anchor` forces a scheduling dependence of the filter MLP on the
+        given activation: the filter depends only on parameters, so inside
+        per-layer remat cells XLA's scheduler otherwise hoists EVERY layer's
+        filter recompute to the front of the backward pass — at 1M tokens
+        that is 8 simultaneously-live f32 (L, d) banks (977 MB each), the
+        difference between fitting on one 16 GB chip and OOM."""
         z = self.pos_emb_z[:, :L]
+        if anchor is not None:
+            z, _ = jax.lax.optimization_barrier(
+                (z, jax.lax.stop_gradient(anchor)))
         t = jnp.linspace(0.0, 1.0, self.seq_len, dtype=jnp.float32)[None, :L, None]
         if self.linear_mixer:
             h = self.mlp_out(z)
@@ -153,11 +167,17 @@ class HyenaFilter(fnn.Module):
             for layer in self.mlp_inner:
                 h = jnp.sin(self.freq * layer(h))
             h = self.mlp_out(h)
+        # in reduced precision, cast BEFORE the modulation so every (L, d)
+        # buffer past the MLP — and every backward cotangent — is out_dtype
+        # (the f32 cotangent banks otherwise dominate HBM at 1M tokens)
+        h = h.astype(out_dtype)
         if self.modulate:
             decay = jnp.exp(-t * jnp.abs(self.deltas))
-            h = h * (decay + self.modulation_shift)
+            h = h * (decay + self.modulation_shift).astype(out_dtype)
         if self.normalized:
-            h = h / jnp.linalg.norm(h, ord=1, axis=-1, keepdims=True)
+            h = h / jnp.linalg.norm(
+                h.astype(jnp.float32), ord=1, axis=-1, keepdims=True
+            ).astype(out_dtype)
         return h
 
     def __call__(

@@ -34,6 +34,12 @@ from hyena_dna_tpu.models.nn import activation_fn
 from hyena_dna_tpu.ops import short_conv_1d
 from hyena_dna_tpu.ops.distributed import seq_fftconv, seq_short_conv
 
+# Sequence length from which the long-conv I/O (signal, gate, filter) is kept
+# in bf16: above ~512k the f32 (B, d, L) operands dominate HBM residency
+# (977 MB each at 1M/d=256) and are what keeps 1M-token training off a single
+# 16 GB chip. The FFT math inside fftconv still runs f32 per channel chunk.
+CONV_IO_BF16_MIN_L = 1 << 19
+
 
 class HyenaOperator(fnn.Module):
     d_model: int
@@ -326,12 +332,25 @@ class HyenaOperator(fnn.Module):
         )
         vx = self.drop(vx, deterministic=deterministic)
 
-        k = self.filter_fn.filter(l_filter)  # (1, L, d)
+        # anchor the filter generation to this layer's activations at long L
+        # so per-cell remat recomputes stay scheduled per-cell (see
+        # HyenaFilter.filter docstring)
+        # above ~512k tokens the f32 (B, d, L) conv operands dominate HBM
+        # (977 MB each at 1M, d=256); keep the conv I/O (signal, gate,
+        # filter bank) in bf16 there — the transform itself still runs
+        # f32/chunked inside fftconv.
+        conv_dt = (jnp.bfloat16 if l_filter >= CONV_IO_BF16_MIN_L
+                   else jnp.float32)
+        anchor = vx if l_filter >= CONV_IO_BF16_MIN_L else None
+        k = self.filter_fn.filter(l_filter, anchor=anchor,
+                                  out_dtype=conv_dt)  # (1, L, d)
         k = jnp.swapaxes(k[0], 0, 1)  # (d, L)
         bias = self.filter_fn.bias  # (d,)
         from hyena_dna_tpu.ops import fftconv_chunked as _fftconv
 
-        v = _fftconv(vx, k.astype(jnp.float32), bias.astype(jnp.float32), False)
+        vx = vx.astype(conv_dt)
+        x0 = x0.astype(conv_dt)
+        v = _fftconv(vx, k, bias.astype(jnp.float32), False)
         y = (v * x0).astype(u.dtype)
         y = jnp.swapaxes(y, -1, -2)
         y = self.act(y)

@@ -56,6 +56,8 @@ class LMBackbone(fnn.Module):
     residual_in_fp32: bool = False
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
+    remat_residual_only: bool = False
+    remat_group_size: int = 1
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -71,7 +73,7 @@ class LMBackbone(fnn.Module):
         )
         attn_idx = set(self.attn_layer_idx or ())
         block_cls = Block
-        if self.checkpoint_mixer or self.checkpoint_mlp:
+        if (self.checkpoint_mixer or self.checkpoint_mlp) and not self._residual_cells:
             # TPU-idiomatic activation checkpointing: remat whole blocks and
             # let XLA re-derive intermediates in the backward pass.
             block_cls = fnn.remat(
@@ -103,6 +105,43 @@ class LMBackbone(fnn.Module):
             epsilon=self.layer_norm_epsilon, dtype=jnp.float32, name="ln_f"
         )
 
+    @property
+    def _residual_cells(self) -> bool:
+        """Residual-only remat applies when checkpointing is on and every
+        block has an MLP (so the boundary hidden = mlp(norm2(residual)) is
+        recomputable from the residual alone)."""
+        return (
+            self.remat_residual_only
+            and (self.checkpoint_mixer or self.checkpoint_mlp)
+            and not self.identity_mlp
+        )
+
+    def _residual_cell(self, carry, i: int, deterministic: bool):
+        """Remat cell i spanning [mlp of block i-1, mixer of block i]: the
+        ONLY saved value per cell is the f32 residual stream (halves remat
+        residency vs whole-block cells, which store hidden+residual)."""
+        if i == 0:
+            return self.layers[0].pre(carry, None, deterministic)
+        hidden = self.layers[i - 1].post(carry)
+        return self.layers[i].pre(hidden, carry, deterministic)
+
+    def _final_post(self, residual):
+        return self.layers[-1].post(residual)
+
+    def _residual_group(self, carry, i0: int, g: int, deterministic: bool):
+        """Nested remat: an outer cell over g consecutive residual cells.
+        Persistent checkpoint storage drops to n_layer/g residuals; the
+        group's backward transiently re-materializes its g inner boundaries
+        (each inner cell is itself remat'd, bounding the working set)."""
+        cell = fnn.remat(
+            LMBackbone._residual_cell,
+            static_argnums=(2, 3),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+        for i in range(i0, i0 + g):
+            carry = cell(self, carry, i, deterministic)
+        return carry
+
     def __call__(
         self,
         input_ids: jax.Array,
@@ -114,9 +153,36 @@ class LMBackbone(fnn.Module):
         hidden_states = (
             inputs_embeds if inputs_embeds is not None else self.embeddings(input_ids)
         )
-        residual = None
-        for layer in self.layers:
-            hidden_states, residual = layer(hidden_states, residual, deterministic)
+        if self._residual_cells:
+            residual = hidden_states
+            g = max(1, self.remat_group_size)
+            if g > 1:
+                group = fnn.remat(
+                    LMBackbone._residual_group,
+                    static_argnums=(2, 3, 4),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+                for i0 in range(0, self.n_layer, g):
+                    residual = group(self, residual, i0,
+                                     min(g, self.n_layer - i0), deterministic)
+            else:
+                cell = fnn.remat(
+                    LMBackbone._residual_cell,
+                    static_argnums=(2, 3),
+                    policy=jax.checkpoint_policies.nothing_saveable,
+                )
+                for i in range(self.n_layer):
+                    residual = cell(self, residual, i, deterministic)
+            final_post = fnn.remat(
+                LMBackbone._final_post,
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+            hidden_states = final_post(self, residual)
+        else:
+            residual = None
+            for layer in self.layers:
+                hidden_states, residual = layer(hidden_states, residual,
+                                                deterministic)
         dropped = self.drop_f(hidden_states, deterministic=deterministic)
         residual = (dropped + residual) if residual is not None else dropped
         hidden_states = self.ln_f(residual.astype(jnp.float32))
@@ -144,6 +210,8 @@ class ConvLMHeadModel(fnn.Module):
     residual_in_fp32: bool = False
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
+    remat_residual_only: bool = False
+    remat_group_size: int = 1
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -165,6 +233,8 @@ class ConvLMHeadModel(fnn.Module):
             residual_in_fp32=self.residual_in_fp32,
             checkpoint_mixer=self.checkpoint_mixer,
             checkpoint_mlp=self.checkpoint_mlp,
+            remat_residual_only=self.remat_residual_only,
+            remat_group_size=self.remat_group_size,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,
@@ -212,6 +282,8 @@ class DNAEmbeddingModel(fnn.Module):
     residual_in_fp32: bool = False
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
+    remat_residual_only: bool = False
+    remat_group_size: int = 1
     return_hidden_state: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
@@ -234,6 +306,8 @@ class DNAEmbeddingModel(fnn.Module):
             residual_in_fp32=self.residual_in_fp32,
             checkpoint_mixer=self.checkpoint_mixer,
             checkpoint_mlp=self.checkpoint_mlp,
+            remat_residual_only=self.remat_residual_only,
+            remat_group_size=self.remat_group_size,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,

@@ -199,7 +199,9 @@ def fftconv(u: jax.Array, k: jax.Array, D: jax.Array, gelu: bool = False,
     u: (..., C, L); k: (C, L); D broadcastable against u once an L axis is
     appended (e.g. (C,) or (1, C, 1)).
     """
-    return fftconv_ref(u, k, D, gelu=gelu)
+    # primal == the VJP forward's routed computation (Pallas fused kernel /
+    # MXU chain / two-step), so inference gets the fast path too
+    return _fftconv_fwd(u, k, D, gelu, save_spectra)[0]
 
 
 # Save forward spectra for the backward pass when below this size, sparing
@@ -260,33 +262,26 @@ def _pallas_conv_plan(u, k, fft_size, gelu):
     return _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
 
 
-def _pallas_k_spectrum(k, fft_size, r, m, conj=False):
-    """Filter spectrum in the kernel's (r, C, m) layout."""
-    kr, ki = fft_chain_ri(k.astype(jnp.float32), fft_size)
-    c = k.shape[0]
-    if conj:
-        ki = -ki
-    to = lambda a: jnp.transpose(a.reshape(c, r, m), (1, 0, 2))
-    return to(kr), to(ki)
-
-
 def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
     from hyena_dna_tpu.ops import pallas_fftconv as _pf
 
     r, m, cb = plan_rmc
     seqlen = u.shape[-1]
     lp = (r // 2) * m
-    ksr, ksi = _pallas_k_spectrum(k, fft_size, r, m, conj=conj_filter)
     u_in = u
+    k_in = k
     if seqlen < lp:
         u_in = jnp.pad(u, [(0, 0), (0, 0), (0, lp - seqlen)])
+    if k.shape[-1] < lp:
+        k_in = jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
     if D is None:
         d_arr = jnp.zeros((u.shape[1],), jnp.float32)
     else:
         d_arr = jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
                                  (u.shape[1],))
-    y = _pf.fftconv_fused_fwd(u_in.astype(jnp.float32), ksr, ksi, d_arr,
-                              r, m, cb, interpret=PALLAS_FFTCONV_INTERPRET)
+    y = _pf.fftconv_fused_fwd(u_in.astype(jnp.float32), k_in, d_arr,
+                              r, m, cb, conj_filter=conj_filter,
+                              interpret=PALLAS_FFTCONV_INTERPRET)
     return y[..., :seqlen]
 
 
@@ -647,21 +642,28 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
     lp = (r // 2) * m
     dy = dy.astype(f32)
 
-    du = _pallas_conv_apply(dy, k, D, fft_size, plan_rmc, conj_filter=True)
-    du = du[..., :seqlen]
-
     pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
     u_in = jnp.pad(u.astype(f32), pad) if pad else u.astype(f32)
     dy_in = jnp.pad(dy, pad) if pad else dy
-    pr, pi = _pf.fftconv_fused_dk_spec(u_in, dy_in, r, m, cb,
-                                       interpret=PALLAS_FFTCONV_INTERPRET)
+    k_in = k.astype(f32)
+    if k.shape[-1] < lp:
+        k_in = jnp.pad(k_in, [(0, 0), (0, lp - k.shape[-1])])
+    d_arr = (jnp.zeros((u.shape[1],), f32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, f32).reshape(-1),
+                                   (u.shape[1],)))
+    du, pr, pi, dD_full = _pf.fftconv_fused_bwd(
+        u_in, dy_in, k_in, d_arr, r, m, cb,
+        interpret=PALLAS_FFTCONV_INTERPRET)
+    du = du[..., :seqlen]
+
     c = k.shape[0]
     back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(c, r * m)
     dk = ifft_chain_real(back(pr), back(pi), fft_size)[..., :seqlen]
     dk = dk.reshape(k.shape)
 
     D_arr = jnp.asarray(D)
-    dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
+    dD = _reduce_to_shape(dD_full.reshape(1, c, 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 
 

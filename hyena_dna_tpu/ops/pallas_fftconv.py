@@ -116,13 +116,28 @@ def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi):
     return zr.reshape(r, cb, m), zi.reshape(r, cb, m)
 
 
-def _conv_kernel(u_ref, ksr_ref, ksi_ref, d_ref,
+def _conv_kernel(u_ref, k_ref, d_ref,
                  frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
-                 y_ref, *, r: int, m: int):
-    """One (channel-block, batch) program: full causal conv for CB rows."""
+                 y_ref, ksr_ref, ksi_ref, *, r: int, m: int, conj: bool):
+    """One (channel-block, batch) program: full causal conv for CB rows.
+
+    The filter spectrum is computed IN-KERNEL at batch index 0 (grid's
+    innermost dim) and cached in VMEM scratch for the remaining batch
+    programs of the channel block — the filter FFT never touches HBM
+    (vs the old XLA-side precompute: ~2.4 ms + a 134 MB f32 spectrum
+    round trip per conv at the 32k bench shape)."""
     st = _STORE_DTYPE
     r2 = r // 2
     cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = (-ki0) if conj else ki0
+
     u = u_ref[0]  # (CB, Lp), Lp = r2*m
     zr, zi = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi)
 
@@ -150,33 +165,34 @@ def _conv_kernel(u_ref, ksr_ref, ksi_ref, d_ref,
     y_ref[0] = y.astype(y_ref.dtype)
 
 
-def fftconv_fused_fwd(u, ks_r, ks_i, D, r: int, m: int, cb: int,
-                      interpret: bool = False):
-    """Causal conv of u with the filter whose digit-permuted spectrum
-    (layout (r, C, m)) is (ks_r, ks_i), plus u*D.
+def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
+                      conj_filter: bool = False, interpret: bool = False):
+    """Causal conv of u with the (C, Lp) time-domain filter k, plus u*D.
+    The filter spectrum is computed in-kernel (scratch-cached per channel
+    block); conj_filter=True convolves with the conjugated spectrum
+    (correlation — the input-gradient computation).
 
     u: (B, C, Lp) with Lp = (r//2)*m; returns (B, C, Lp) in u.dtype.
     """
     bsz, c, lp = u.shape
     assert lp == (r // 2) * m, (lp, r, m)
+    assert k.shape == (c, lp), (k.shape, c, lp)
     assert c % cb == 0
     consts = _dft_consts(r, m, r * m)
-    vals = [consts[k] for k in _CONST_KEYS]
+    vals = [consts[key] for key in _CONST_KEYS]
     const_specs = [
         pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for v in vals
     ]
-    kernel = functools.partial(_conv_kernel, r=r, m=m)
+    kernel = functools.partial(_conv_kernel, r=r, m=m, conj=conj_filter)
     return pl.pallas_call(
         kernel,
         grid=(c // cb, bsz),  # batch innermost: filter/const blocks stay put
         in_specs=[
             pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
                          memory_space=pltpu.VMEM),
             # D rides as a (C, 128) tile: Mosaic needs the minor block dim
             # to be 128-divisible (or the full array dim)
@@ -187,8 +203,135 @@ def fftconv_fused_fwd(u, ks_r, ks_i, D, r: int, m: int, cb: int,
         out_specs=pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
         interpret=interpret,
-    )(u, ks_r, ks_i, jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
+    )(u, k.astype(jnp.float32), jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
+
+
+def _bwd_kernel(u_ref, dy_ref, k_ref, d_ref,
+                frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                du_ref, pr_ref, pi_ref, dd_ref, ksr_ref, ksi_ref,
+                *, r: int, m: int):
+    """Fused backward program: one transform of u and dy each, then
+      du = inv(dy_f * conj(k_f)) + dy*D          (written per batch)
+      dk_spec += dy_f * conj(u_f)                (f32 accum over batch)
+      dD += sum_l dy*u                           (f32 accum over batch)
+    vs the previous two-kernel backward this reads dy once instead of
+    twice and transforms it once instead of twice."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
+
+    u = u_ref[0]
+    dy = dy_ref[0]
+    ur, ui = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi)
+    dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi)
+
+    # input grad: multiply with the conjugated filter spectrum, invert
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (dr * kr - di * ki).reshape(r * cb, m)
+    wi = (dr * ki + di * kr).reshape(r * cb, m)
+    hr = _mm(wr, cmr[:]) - _mm(wi, cmi[:])
+    hi = _mm(wr, cmi[:]) + _mm(wi, cmr[:])
+    tr = twr[:].astype(st)[:, None, :]
+    ti = twi[:].astype(st)[:, None, :]
+    h3r = hr.reshape(r, cb, m)
+    h3i = hi.reshape(r, cb, m)
+    h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
+    yr = _mm(crr[:], h3r.reshape(r, cb * m)) - _mm(cri[:], h3i.reshape(r, cb * m))
+    du = jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    du = du.astype(jnp.float32) + dy.astype(jnp.float32) * d_ref[:, 0][:, None]
+    du_ref[0] = du.astype(du_ref.dtype)
+
+    # filter-grad spectrum + D-grad accumulators
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+    dd = jnp.sum(u.astype(jnp.float32) * dy.astype(jnp.float32),
+                 axis=1, keepdims=True)  # (cb, 1)
+    dd = jnp.broadcast_to(dd, (cb, 128))
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+        dd_ref[:] = dd
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+        dd_ref[:] = dd_ref[:] + dd
+
+
+def fftconv_fused_bwd(u, dy, k, D, r: int, m: int, cb: int,
+                      interpret: bool = False):
+    """(du, dk_spec_r, dk_spec_i, dD) for the no-gelu fused conv.
+
+    u, dy: (B, C, Lp) f32; k: (C, Lp) f32. dk_spec is the (r, C, m) f32
+    permuted-spectrum pair of sum_b dy_f * conj(u_f) (caller runs the cheap
+    C-row inverse); dD comes back (C,) f32.
+    """
+    bsz, c, lp = u.shape
+    assert lp == (r // 2) * m and k.shape == (c, lp)
+    assert c % cb == 0
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_kernel, r=r, m=m)
+    du, pr, pi, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),
+        in_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        interpret=interpret,
+    )(u, dy, k.astype(jnp.float32),
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, pr, pi, dd[:, 0]
 
 
 def _spec_accum_kernel(u_ref, dy_ref,

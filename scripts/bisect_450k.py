@@ -13,6 +13,7 @@ stages:
   conv    raw fftconv_chunked on (1, 256, 450048)
   short   short_conv_1d only
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,7 +26,15 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-L, d, nl = 450048, 256, 8
+# env overrides: BISECT_L (sequence length), BISECT_RRO=1 (residual-only remat)
+L, d, nl = int(os.environ.get("BISECT_L", 450048)), 256, 8
+RRO = os.environ.get("BISECT_RRO", "0") == "1"
+GROUP = int(os.environ.get("BISECT_GROUP", "1"))
+if os.environ.get("BISECT_CHUNK"):
+    import hyena_dna_tpu.ops.fftconv as _F  # noqa: E402
+    import sys as _sys
+    _sys.modules["hyena_dna_tpu.ops.fftconv"].FFTCONV_CHUNK_BUDGET = int(
+        os.environ["BISECT_CHUNK"])
 stage = sys.argv[1] if len(sys.argv) > 1 else "model"
 mode = sys.argv[2] if len(sys.argv) > 2 else "fwd"
 
@@ -47,7 +56,9 @@ if stage == "model":
     model = ConvLMHeadModel(
         d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
         pad_vocab_size_multiple=8, residual_in_fp32=True, layer=layer,
-        checkpoint_mixer=True, checkpoint_mlp=True, dtype=jnp.bfloat16)
+        checkpoint_mixer=True, checkpoint_mlp=True, remat_residual_only=RRO,
+        remat_group_size=GROUP,
+        dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, L), jnp.int32))["params"]
     x = jnp.asarray((np.arange(L) % 4 + 7)[None], jnp.int32)
     y = jnp.roll(x, -1, axis=1)

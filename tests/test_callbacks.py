@@ -96,3 +96,97 @@ def test_ema_evaluation(tmp_path, tiny_genome):
     lines = [json.loads(l) for l in open(Path(cfg["train"]["run_dir"]) / "metrics.jsonl")]
     keys = set().union(*(l.keys() for l in lines))
     assert "val_ema/ppl" in keys and "val/ppl" in keys
+
+
+def test_progressive_resizing_stages():
+    """ProgressiveResizing (reference
+    `src/callbacks/progressive_resizing.py:8-118`): per-epoch stage lookup
+    mutates the datamodule's `resolution`, reinitializes datasets, resets
+    loaders, and logs the change — exactly once per stage change."""
+    from hyena_dna_tpu.train.callbacks import ProgressiveResizing
+
+    class FakeDM:
+        resolution = None
+        inits = 0
+
+        def init_datasets(self):
+            self.inits += 1
+
+    class FakeTrainer:
+        def __init__(self):
+            self.datamodule = FakeDM()
+            self.epoch = 0
+            self.resets = 0
+            self.logged = []
+
+        def reset_dataloaders(self):
+            self.resets += 1
+
+        def log(self, m):
+            self.logged.append(m)
+
+    cb = ProgressiveResizing(stage_params=[
+        {"resolution": 4, "epochs": 2},
+        {"resolution": 2, "epochs": 2},
+        {"resolution": 1, "epochs": 1},
+    ])
+    tr = FakeTrainer()
+    seen = []
+    for epoch in range(5):
+        tr.epoch = epoch
+        cb.on_epoch_start(tr)
+        seen.append(tr.datamodule.resolution)
+    assert seen == [4, 4, 2, 2, 1]
+    assert tr.datamodule.inits == 3  # once per stage change only
+    assert tr.resets == 3
+    assert [m["curriculum/resolution"] for m in tr.logged] == [4, 2, 1]
+
+
+def test_wandb_sink(tmp_path, tiny_genome, monkeypatch):
+    """The wandb sink (reference train.py:72-121) activates when a `wandb`
+    config key is present and the package imports; every metrics flush goes
+    to run.log with the global step."""
+    import sys
+    import types
+
+    calls = []
+
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, metrics, step=None):
+            calls.append((dict(metrics), step))
+
+    def _init(**kw):
+        fake.init_kwargs = kw
+        return _Run()
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    fa, bed = tiny_genome
+    cfg = {
+        "train": {"seed": 0, "run_dir": str(tmp_path / "wandb_run")},
+        "wandb": {"project": "unit", "mode": "offline"},
+        "mesh": {"data": 1},
+        "trainer": {"max_epochs": 1, "precision": "32", "log_every_n_steps": 2},
+        "dataset": {"_name_": "hg38", "bed_file": str(bed), "fasta_file": str(fa),
+                    "batch_size": 4, "max_length": 32, "add_eos": True},
+        "task": {"_name_": "lm", "loss": "cross_entropy"},
+        "model": {"_name_": "lm", "d_model": 16, "n_layer": 1, "d_inner": 64,
+                  "vocab_size": 12, "pad_vocab_size_multiple": 8,
+                  "layer": {"_name_": "hyena", "emb_dim": 5, "filter_order": 16,
+                            "l_max": 34, "w": 10}},
+        "optimizer": {"lr": 1e-3},
+        "callbacks": {},
+    }
+    from hyena_dna_tpu.train.trainer import Trainer as _Trainer
+
+    trainer = _Trainer(cfg)
+    assert trainer._wandb is not None
+    assert fake.init_kwargs["project"] == "unit"
+    assert fake.init_kwargs["mode"] == "offline"
+    trainer.fit()
+    assert calls, "wandb.log never called"
+    keys = set().union(*(set(m) for m, _ in calls))
+    assert "loss" in keys or any("ppl" in k for k in keys)

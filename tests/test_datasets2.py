@@ -299,3 +299,53 @@ def test_icl_deterministic_given_rng(icl_fixture):
     a, _ = ds.__getitem__(3, rng=np.random.default_rng(42))
     b, _ = ds.__getitem__(3, rng=np.random.default_rng(42))
     np.testing.assert_array_equal(a, b)
+
+
+def test_bpe_tokenizer_path(tmp_path):
+    """Exercise the BPE tokenizer route end-to-end (reference
+    `genomics.py:102-111` loads the AIRI gena-lm BPE via AutoTokenizer):
+    build a tiny local BPE snapshot (zero-egress stand-in for the gena-lm
+    download), point `bpe_tokenizer_path` at it, and pull real batches."""
+    tokenizers = pytest.importorskip("tokenizers")
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer, models, trainers
+
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), size=8192))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(seq), 60):
+            f.write(seq[i : i + 60] + "\n")
+    bed = tmp_path / "g.bed"
+    with open(bed, "w") as f:
+        for i in range(8):
+            f.write(f"chr1\t{i * 512}\t{i * 512 + 256}\ttrain\n")
+        f.write("chr1\t4096\t4352\tvalid\n")
+        f.write("chr1\t6000\t6256\ttest\n")
+
+    tok = Tokenizer(models.BPE(unk_token="[UNK]"))
+    trainer = trainers.BpeTrainer(
+        vocab_size=64, special_tokens=["[PAD]", "[UNK]", "[SEP]"])
+    corpus = ["".join(rng.choice(list("ACGT"), size=512)) for _ in range(16)]
+    tok.train_from_iterator(corpus, trainer)
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]",
+        sep_token="[SEP]")
+    snap = tmp_path / "bpe_tok"
+    fast.save_pretrained(str(snap))
+
+    from hyena_dna_tpu.data.datamodules import HG38DataModule
+
+    dm = HG38DataModule(
+        bed_file=str(bed), fasta_file=str(fa), tokenizer_name="bpe",
+        bpe_tokenizer_path=str(snap), max_length=64, batch_size=4,
+        add_eos=False, shuffle=False)
+    dm.setup()
+    assert dm.vocab_size == len(fast)
+    x, y = next(iter(dm.train_dataloader()))
+    assert x.shape == (4, 63) and y.shape == (4, 63)
+    assert x.dtype == np.int32
+    assert int(x.max()) < dm.vocab_size
+    # next-token shift invariant holds under BPE ids too
+    np.testing.assert_array_equal(x[:, 1:], y[:, :-1])

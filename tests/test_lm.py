@@ -110,6 +110,38 @@ def test_lm_remat_matches_no_remat():
     )
 
 
+def test_lm_residual_only_remat_matches():
+    """remat_residual_only re-cuts checkpoint cells at the residual stream
+    (stores one f32 tensor per layer instead of hidden+residual); outputs
+    and grads must match the plain model."""
+    kw = dict(d_model=16, n_layer=3, d_inner=64, vocab_size=12,
+              layer=dict(LAYER), residual_in_fp32=True, embed_dropout=0.0)
+    m1 = ConvLMHeadModel(**kw)
+    m2 = ConvLMHeadModel(checkpoint_mixer=True, remat_residual_only=True, **kw)
+    ids = jnp.asarray(np.arange(32)[None] % 4 + 7, jnp.int32)
+    v = m1.init(jax.random.PRNGKey(0), ids)
+    y1, _ = m1.apply(v, ids)
+    y2, _ = m2.apply(v, ids)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5,
+                               atol=1e-6)
+
+    g1 = jax.grad(lambda p: jnp.mean(m1.apply({"params": p}, ids)[0] ** 2))(
+        v["params"])
+    g2 = jax.grad(lambda p: jnp.mean(m2.apply({"params": p}, ids)[0] ** 2))(
+        v["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        g1, g2)
+
+    # with dropout active the mode must still run (masks replay inside cells)
+    m3 = ConvLMHeadModel(checkpoint_mixer=True, remat_residual_only=True,
+                         **{**kw, "embed_dropout": 0.1, "resid_dropout": 0.1})
+    y3, _ = m3.apply(v, ids, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1)})
+    assert bool(jnp.all(jnp.isfinite(y3)))
+
+
 def test_lm_loss_decreases():
     """20 Adam steps on a repetitive synthetic sequence: loss must drop."""
     model = _tiny_model()
