@@ -35,10 +35,14 @@ from hyena_dna_tpu.ops import short_conv_1d
 from hyena_dna_tpu.ops.distributed import seq_fftconv, seq_short_conv
 
 # Sequence length from which the long-conv I/O (signal, gate, filter) is kept
-# in bf16: above ~512k the f32 (B, d, L) operands dominate HBM residency
-# (977 MB each at 1M/d=256) and are what keeps 1M-token training off a single
-# 16 GB chip. The FFT math inside fftconv still runs f32 per channel chunk.
-CONV_IO_BF16_MIN_L = 1 << 19
+# in bf16. Two reasons: (a) throughput — the fused Pallas conv rounds its dot
+# inputs to bf16 anyway, so f32 I/O just doubles the HBM traffic of the
+# step's largest tensors (~1 ms/layer at the 32k bench shape); (b) memory —
+# above ~512k the f32 (B, d, L) operands are what keeps 1M-token training
+# off a single 16 GB chip (977 MB each at 1M/d=256). The FFT math inside
+# fftconv still accumulates f32. Short lengths stay f32 so checkpoint-parity
+# evals (tiny-1k fixed windows) are bit-faithful.
+CONV_IO_BF16_MIN_L = 1 << 15
 
 
 class HyenaOperator(fnn.Module):

@@ -279,7 +279,9 @@ def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
     else:
         d_arr = jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
                                  (u.shape[1],))
-    y = _pf.fftconv_fused_fwd(u_in.astype(jnp.float32), k_in, d_arr,
+    # kernel rounds dot inputs to bf16 internally; pass u's native dtype so
+    # bf16 callers don't pay an f32 round trip on the step's largest tensor
+    y = _pf.fftconv_fused_fwd(u_in, k_in, d_arr,
                               r, m, cb, conj_filter=conj_filter,
                               interpret=PALLAS_FFTCONV_INTERPRET)
     return y[..., :seqlen]
@@ -640,10 +642,11 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
     seqlen = u.shape[-1]
     f32 = jnp.float32
     lp = (r // 2) * m
-    dy = dy.astype(f32)
+    # dy keeps its native dtype: the kernel rounds dot inputs to bf16 and
+    # accumulates f32 regardless, so an f32 upcast only doubles HBM traffic
 
     pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
-    u_in = jnp.pad(u.astype(f32), pad) if pad else u.astype(f32)
+    u_in = jnp.pad(u, pad) if pad else u
     dy_in = jnp.pad(dy, pad) if pad else dy
     k_in = k.astype(f32)
     if k.shape[-1] < lp:

@@ -23,7 +23,11 @@ from hyena_dna_tpu.train.step import make_train_step
 from hyena_dna_tpu.utils.profiling import device_memory_stats
 
 
-def run(L, pallas, iters=5, inner_remat=False):
+def run(L, pallas, iters=5, inner_remat=False, rro=False, group=1,
+        chunk_budget=None):
+    if chunk_budget is not None:
+        import hyena_dna_tpu.ops.fftconv  # noqa: F401
+        sys.modules["hyena_dna_tpu.ops.fftconv"].FFTCONV_CHUNK_BUDGET = chunk_budget
     d, nl, B = 256, 8, 1
     layer = dict(_name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
                  l_max=L + 2, modulate=True, w=10, use_pallas_front=pallas,
@@ -31,6 +35,7 @@ def run(L, pallas, iters=5, inner_remat=False):
     model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
                             pad_vocab_size_multiple=8, residual_in_fp32=True,
                             layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
+                            remat_residual_only=rro, remat_group_size=group,
                             dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, L), jnp.int32))["params"]
@@ -88,7 +93,9 @@ if __name__ == "__main__":
         run(450048, False)
         run(450048, True)
     elif which == "1m":
-        run(1000448, False)
+        # single-chip 1M training: residual-only remat cells grouped by 2 +
+        # 64 MB conv chunk budget (the combination that fits 15.75 GB HBM)
+        run(1000448, None, rro=True, group=2, chunk_budget=1 << 26)
     elif which == "1m_fwd":
         run_fwd(1000448)
     elif which == "1m_remat":
