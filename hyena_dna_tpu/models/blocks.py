@@ -110,36 +110,62 @@ def make_mixer(
 
 class Mlp(fnn.Module):
     """Transformer MLP with tanh-approx GeLU (reference
-    `long_conv_lm.py:117-123`: `partial(F.gelu, approximate='tanh')`)."""
+    `long_conv_lm.py:117-123`: `partial(F.gelu, approximate='tanh')`).
+
+    On TPU the (N, 4d) hidden activations are the layer's dominant HBM
+    traffic; eligible shapes route through the fused Pallas kernel
+    (`ops/pallas_mlp.py`), the analog of flash-attn's FusedMLP
+    (`long_conv_lm.py:117-178`). Init and ineligible shapes use the plain
+    Dense path (identical math)."""
 
     hidden_features: int
     out_features: Optional[int] = None
     n_layer: int = 1
     init_std: float = 0.02
     dtype: Any = jnp.float32
+    use_fused: Optional[bool] = None  # None = auto (TPU backend)
 
-    @fnn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        d_out = self.out_features or x.shape[-1]
-        x = fnn.Dense(
+    def setup(self):
+        assert self.out_features, "Mlp needs out_features (setup-time Dense)"
+        self.fc1 = fnn.Dense(
             self.hidden_features,
             kernel_init=fnn.initializers.normal(stddev=self.init_std),
             bias_init=fnn.initializers.zeros,
             dtype=self.dtype,
-            name="fc1",
-        )(x)
-        x = jax.nn.gelu(x, approximate=True)
+        )
         # fc2 gets the GPT-2 1/sqrt(2N) residual rescale (`long_conv_lm.py:225-230`)
-        x = fnn.Dense(
-            d_out,
+        self.fc2 = fnn.Dense(
+            self.out_features,
             kernel_init=fnn.initializers.normal(
                 stddev=self.init_std / math.sqrt(2 * self.n_layer)
             ),
             bias_init=fnn.initializers.zeros,
             dtype=self.dtype,
-            name="fc2",
-        )(x)
-        return x
+        )
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d_out = self.out_features or x.shape[-1]
+        fused = self.use_fused
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        if fused and not self.is_initializing():
+            from hyena_dna_tpu.ops.pallas_mlp import _pick_tile, mlp_fused
+
+            lead = x.shape[:-1]
+            n = math.prod(lead)
+            d = x.shape[-1]
+            if (_pick_tile(n) is not None and d % 128 == 0
+                    and self.hidden_features % 128 == 0 and d_out % 128 == 0):
+                w1 = self.fc1.variables["params"]["kernel"]
+                b1 = self.fc1.variables["params"]["bias"]
+                w2 = self.fc2.variables["params"]["kernel"]
+                b2 = self.fc2.variables["params"]["bias"]
+                y = mlp_fused(x.reshape(n, d).astype(self.dtype),
+                              w1, b1, w2, b2)
+                return y.reshape(*lead, d_out)
+        x = self.fc1(x)
+        x = jax.nn.gelu(x, approximate=True)
+        return self.fc2(x)
 
 
 class Block(fnn.Module):
@@ -186,6 +212,7 @@ class Block(fnn.Module):
                                        dtype=norm_dtype)
             self.mlp = Mlp(
                 hidden_features=self.d_inner or 4 * self.d_model,
+                out_features=self.d_model,
                 n_layer=self.n_layer,
                 dtype=self.dtype,
             )

@@ -65,6 +65,9 @@ def main():
     ap.add_argument("out_dir")
     ap.add_argument("--bases", type=int, default=64_000_000)
     ap.add_argument("--chroms", type=int, default=4)
+    ap.add_argument("--window", type=int, default=1024,
+                    help="bed interval size (the dataset crops the interval "
+                         "head to max_length, so intervals ARE the samples)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     out = Path(args.out_dir)
@@ -88,13 +91,13 @@ def main():
             # held-out tail split into valid/test windows
             train_end = int(per * 0.90)
             val_end = int(per * 0.95)
-            win = 2 << 20
+            win = args.window
             for s in range(0, train_end - win, win):
                 bf.write(f"{name}\t{s}\t{s + win}\ttrain\n")
-            for s in range(train_end, val_end - (1 << 20), 1 << 20):
-                bf.write(f"{name}\t{s}\t{s + (1 << 20)}\tvalid\n")
-            for s in range(val_end, per - (1 << 20), 1 << 20):
-                bf.write(f"{name}\t{s}\t{s + (1 << 20)}\ttest\n")
+            for s in range(train_end, val_end - win, win):
+                bf.write(f"{name}\t{s}\t{s + win}\tvalid\n")
+            for s in range(val_end, per - win, win):
+                bf.write(f"{name}\t{s}\t{s + win}\ttest\n")
             print(f"{name}: {per} bases", flush=True)
     print(f"wrote {fa} and {bed}")
 
