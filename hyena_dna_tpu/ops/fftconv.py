@@ -27,6 +27,7 @@ dims of a (B, H, C, Z, L) input.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -455,7 +456,8 @@ def fftconv_aliased(u: jax.Array, k: jax.Array, D: jax.Array) -> jax.Array:
 # 450k train step (16 GB v5e): 1<<28 (chunk 8) = 2.66 s/step, 1<<29
 # (chunk 16) = 4.41 s/step, 1<<30 (chunk 32) never finished compiling
 # through the tunnel. Bigger is NOT better here.
-FFTCONV_CHUNK_BUDGET = 1 << 28
+FFTCONV_CHUNK_BUDGET = int(os.environ.get("HYENA_FFTCONV_CHUNK_BUDGET",
+                                          1 << 28))
 
 
 def fftconv_chunk_size(c: int, seqlen: int, budget_bytes: int | None = None) -> int:

@@ -56,6 +56,20 @@ def test_experiment_config_composes():
     assert cfg["scheduler"]["lr_min"] == pytest.approx(6e-5)
 
 
+def test_all_experiment_configs_compose():
+    """Every shipped experiment file must compose without errors (catches
+    stale keys when model/module signatures evolve)."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "configs" / "experiment"
+    files = sorted(p.relative_to(root).with_suffix("") for p in root.rglob("*.yaml"))
+    assert files
+    for f in files:
+        cfg = build_config([f"experiment={f}"])
+        assert "_name_" in cfg["model"], f
+        assert "dataset" in cfg, f
+
+
 def test_unsafe_eval_rejected():
     with pytest.raises(ValueError):
         resolve_interpolations({"x": "${eval:__import__('os').system('true')}"})
