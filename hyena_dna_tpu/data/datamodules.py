@@ -293,6 +293,8 @@ class ChromatinProfileDataModule(SequenceDataModule):
         ref_genome_path: Optional[str] = None,
         ref_genome_version: str = "hg38",
         data_path: Optional[str] = None,
+        liftover_chain_path: Optional[str] = None,
+        save_liftover: bool = True,
         d_output: int = 919,
         max_length: int = 1000,
         use_padding: bool = True,
@@ -307,6 +309,8 @@ class ChromatinProfileDataModule(SequenceDataModule):
         self.ref_genome_path = ref_genome_path
         self.ref_genome_version = ref_genome_version
         self.data_path = data_path or str(default_data_path / self._name_)
+        self.liftover_chain_path = liftover_chain_path
+        self.save_liftover = save_liftover
         self.d_output = d_output
         self.max_length = max_length
         self.use_padding = use_padding
@@ -328,15 +332,29 @@ class ChromatinProfileDataModule(SequenceDataModule):
                 max_length=self.max_length,
                 ref_genome_path=self.ref_genome_path,
                 ref_genome_version=self.ref_genome_version,
-                coords_target_path=f"{self.data_path}/{split}_{self.ref_genome_version}_coords_targets.csv",
+                coords_target_path=self._coords_csv(split),
                 tokenizer=self.tokenizer,
                 use_padding=self.use_padding,
                 add_eos=self.add_eos,
+                liftover_chain_path=self.liftover_chain_path,
+                save_liftover=self.save_liftover,
             )
 
         self.dataset_train = make("train")
         self.dataset_val = make("val")
         self.dataset_test = make("test")
+
+    def _coords_csv(self, split: str) -> str:
+        """Converted-version CSV when it exists (the dataset's one-time
+        liftover writes it, `chromatin_profile.py`); else the hg19 original
+        (lifted in-memory via `liftover_chain_path`)."""
+        import os
+
+        want = f"{self.data_path}/{split}_{self.ref_genome_version}_coords_targets.csv"
+        if os.path.exists(want):
+            return want
+        alt = f"{self.data_path}/{split}_hg19_coords_targets.csv"
+        return alt if os.path.exists(alt) else want
 
 
 class SpeciesDataModule(SequenceDataModule):
