@@ -103,9 +103,11 @@ class CharacterTokenizer:
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
         ids = np.asarray(ids).ravel()
         if skip_special_tokens:
-            ids = ids[ids >= 7]
+            # drop specials AND padded-vocab ids (models pad the vocab to a
+            # multiple of 8, so sampling can emit ids >= vocab_size)
+            ids = ids[(ids >= 7) & (ids < len(self._inv))]
             return bytes(self._inv[ids]).decode("latin-1")
-        return "".join(self._vocab_int_to_str[int(i)] for i in ids)
+        return "".join(self._vocab_int_to_str.get(int(i), "[UNK]") for i in ids)
 
     def __call__(
         self,

@@ -106,9 +106,11 @@ def main(argv=None):
     if args.limit_batches:
         from itertools import islice
 
+        inner = loader  # capture BEFORE rebinding (else __iter__ recurses)
+
         class _Limited:
             def __iter__(self_inner):
-                return islice(iter(loader), args.limit_batches)
+                return islice(iter(inner), args.limit_batches)
 
         loader = _Limited()
 
