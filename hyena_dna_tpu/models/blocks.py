@@ -112,18 +112,19 @@ class Mlp(fnn.Module):
     """Transformer MLP with tanh-approx GeLU (reference
     `long_conv_lm.py:117-123`: `partial(F.gelu, approximate='tanh')`).
 
-    On TPU the (N, 4d) hidden activations are the layer's dominant HBM
-    traffic; eligible shapes route through the fused Pallas kernel
-    (`ops/pallas_mlp.py`), the analog of flash-attn's FusedMLP
-    (`long_conv_lm.py:117-178`). Init and ineligible shapes use the plain
-    Dense path (identical math)."""
+    A fused Pallas kernel (`ops/pallas_mlp.py`, the analog of flash-attn's
+    FusedMLP, `long_conv_lm.py:117-178`) is available via `use_fused=True`;
+    measured on v5e at the bench shape it matches but does not beat XLA's
+    own fusion (4.47 vs 4.10 ms/train-step-layer — XLA already folds the
+    gelu into the matmul epilogues), so the default stays on the XLA path.
+    Init and ineligible shapes always use the plain Dense path."""
 
     hidden_features: int
     out_features: Optional[int] = None
     n_layer: int = 1
     init_std: float = 0.02
     dtype: Any = jnp.float32
-    use_fused: Optional[bool] = None  # None = auto (TPU backend)
+    use_fused: Optional[bool] = None  # None = off (XLA wins here; see above)
 
     def setup(self):
         assert self.out_features, "Mlp needs out_features (setup-time Dense)"
@@ -145,9 +146,7 @@ class Mlp(fnn.Module):
 
     def __call__(self, x: jax.Array) -> jax.Array:
         d_out = self.out_features or x.shape[-1]
-        fused = self.use_fused
-        if fused is None:
-            fused = jax.default_backend() == "tpu"
+        fused = bool(self.use_fused)
         if fused and not self.is_initializing():
             from hyena_dna_tpu.ops.pallas_mlp import _pick_tile, mlp_fused
 

@@ -650,7 +650,7 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
     pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
     u_in = jnp.pad(u, pad) if pad else u
     dy_in = jnp.pad(dy, pad) if pad else dy
-    k_in = k.astype(f32)
+    k_in = k  # native dtype: kernel dots round to bf16 regardless
     if k.shape[-1] < lp:
         k_in = jnp.pad(k_in, [(0, 0), (0, lp - k.shape[-1])])
     d_arr = (jnp.zeros((u.shape[1],), f32) if D is None

@@ -67,12 +67,16 @@ def _dft_consts(r: int, m: int, n: int):
         cm_im=-fm_im / m,
         cr_re=fr_re[:r2, :] / r,  # (r2, r): only the first r/2 time rows
         cr_im=-fr_im[:r2, :] / r,
+        # Karatsuba sums: one (A+B)(Fr+Fi) matmul replaces two of the four
+        # in each complex product (25% fewer MXU FLOPs in those passes)
+        fm_s=fm_re + fm_im,
+        cm_s=(fm_re - fm_im) / m,
     )
     return {k: jnp.asarray(v, jnp.float32) for k, v in consts.items()}
 
 
 _CONST_KEYS = ("fr_re", "fr_im", "fm_re", "fm_im", "tw_re", "tw_im",
-               "cm_re", "cm_im", "cr_re", "cr_im")
+               "cm_re", "cm_im", "cr_re", "cr_im", "fm_s", "cm_s")
 
 
 # MXU dot input dtype and VMEM interior storage dtype; tests may set f32 to
@@ -92,7 +96,7 @@ def _mm(a, b):
     ).astype(_STORE_DTYPE)
 
 
-def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi):
+def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms=None):
     """(CB, Lp) real -> digit-permuted spectrum pair, each (r, CB, m),
     stored in _STORE_DTYPE throughout."""
     st = _STORE_DTYPE
@@ -110,14 +114,22 @@ def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi):
     g3r, g3i = g3r * tr - g3i * ti, g3r * ti + g3i * tr
     gr = g3r.reshape(r * cb, m)
     gi = g3i.reshape(r * cb, m)
-    # pass 2: contract b with F_m (symmetric) -> (r*CB, m[q])
-    zr = _mm(gr, fmr[:]) - _mm(gi, fmi[:])
-    zi = _mm(gr, fmi[:]) + _mm(gi, fmr[:])
+    # pass 2: contract b with F_m (symmetric) -> (r*CB, m[q]);
+    # 3-matmul Karatsuba when the summed matrix is provided
+    if fms is not None:
+        t1 = _mm(gr, fmr[:])
+        t2 = _mm(gi, fmi[:])
+        t3 = _mm(gr + gi, fms[:])
+        zr = t1 - t2
+        zi = t3 - t1 - t2
+    else:
+        zr = _mm(gr, fmr[:]) - _mm(gi, fmi[:])
+        zi = _mm(gr, fmi[:]) + _mm(gi, fmr[:])
     return zr.reshape(r, cb, m), zi.reshape(r, cb, m)
 
 
 def _conv_kernel(u_ref, k_ref, d_ref,
-                 frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                 frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri, fms, cms,
                  y_ref, ksr_ref, ksi_ref, *, r: int, m: int, conj: bool):
     """One (channel-block, batch) program: full causal conv for CB rows.
 
@@ -134,12 +146,12 @@ def _conv_kernel(u_ref, k_ref, d_ref,
     @pl.when(bi == 0)
     def _():
         kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
-                                  frr, fri, fmr, fmi, twr, twi)
+                                  frr, fri, fmr, fmi, twr, twi, fms)
         ksr_ref[:] = kr0
         ksi_ref[:] = (-ki0) if conj else ki0
 
     u = u_ref[0]  # (CB, Lp), Lp = r2*m
-    zr, zi = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi)
+    zr, zi = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
 
     # bin-wise multiply with the filter spectrum (r, CB, m)
     kr = ksr_ref[:].astype(st)
@@ -147,9 +159,12 @@ def _conv_kernel(u_ref, k_ref, d_ref,
     wr = (zr * kr - zi * ki).reshape(r * cb, m)
     wi = (zr * ki + zi * kr).reshape(r * cb, m)
 
-    # inverse pass 1: contract q with conj(F_m)/m -> (r, CB, m[b])
-    hr = _mm(wr, cmr[:]) - _mm(wi, cmi[:])
-    hi = _mm(wr, cmi[:]) + _mm(wi, cmr[:])
+    # inverse pass 1 (Karatsuba): contract q with conj(F_m)/m -> (r, CB, m[b])
+    t1 = _mm(wr, cmr[:])
+    t2 = _mm(wi, cmi[:])
+    t3 = _mm(wr + wi, cms[:])
+    hr = t1 - t2
+    hi = t3 - t1 - t2
     # conj twiddle
     tr = twr[:].astype(st)[:, None, :]
     ti = twi[:].astype(st)[:, None, :]
@@ -208,11 +223,12 @@ def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
         interpret=interpret,
-    )(u, k.astype(jnp.float32), jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
+        # k keeps its native dtype: the kernel's dots round to bf16 anyway
+    )(u, k, jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
 
 
 def _bwd_kernel(u_ref, dy_ref, k_ref, d_ref,
-                frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri, fms, cms,
                 du_ref, pr_ref, pi_ref, dd_ref, ksr_ref, ksi_ref,
                 *, r: int, m: int):
     """Fused backward program: one transform of u and dy each, then
@@ -229,22 +245,25 @@ def _bwd_kernel(u_ref, dy_ref, k_ref, d_ref,
     @pl.when(bi == 0)
     def _():
         kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
-                                  frr, fri, fmr, fmi, twr, twi)
+                                  frr, fri, fmr, fmi, twr, twi, fms)
         ksr_ref[:] = kr0
         ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
 
     u = u_ref[0]
     dy = dy_ref[0]
-    ur, ui = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi)
-    dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi)
+    ur, ui = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+    dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
 
     # input grad: multiply with the conjugated filter spectrum, invert
     kr = ksr_ref[:].astype(st)
     ki = ksi_ref[:].astype(st)
     wr = (dr * kr - di * ki).reshape(r * cb, m)
     wi = (dr * ki + di * kr).reshape(r * cb, m)
-    hr = _mm(wr, cmr[:]) - _mm(wi, cmi[:])
-    hi = _mm(wr, cmi[:]) + _mm(wi, cmr[:])
+    t1 = _mm(wr, cmr[:])
+    t2 = _mm(wi, cmi[:])
+    t3 = _mm(wr + wi, cms[:])
+    hr = t1 - t2
+    hi = t3 - t1 - t2
     tr = twr[:].astype(st)[:, None, :]
     ti = twi[:].astype(st)[:, None, :]
     h3r = hr.reshape(r, cb, m)
@@ -329,7 +348,7 @@ def fftconv_fused_bwd(u, dy, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
         interpret=interpret,
-    )(u, dy, k.astype(jnp.float32),
+    )(u, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
     return du, pr, pi, dd[:, 0]
 
