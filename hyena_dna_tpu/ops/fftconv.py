@@ -244,6 +244,10 @@ def _packed_eligible(u, k, fft_size):
 # transform->multiply->inverse pipeline in VMEM, one HBM round trip.
 # Engaged on TPU for 3D/no-gelu convs whose size has a 2-factor chain.
 PALLAS_FFTCONV = True
+# Max bytes of saved u-spectrum per conv call (bf16 ri pair): above this the
+# backward recomputes u's transform instead (long-context paths are chunked
+# and pass save_spectra=False anyway).
+PALLAS_SAVE_SPEC_MAX_BYTES = 1 << 29
 PALLAS_FFTCONV_INTERPRET = False  # tests: run the kernel in interpret mode
 
 
@@ -263,7 +267,8 @@ def _pallas_conv_plan(u, k, fft_size, gelu):
     return _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
 
 
-def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
+def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False,
+                       save_spectrum=False):
     from hyena_dna_tpu.ops import pallas_fftconv as _pf
 
     r, m, cb = plan_rmc
@@ -282,10 +287,14 @@ def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False):
                                  (u.shape[1],))
     # kernel rounds dot inputs to bf16 internally; pass u's native dtype so
     # bf16 callers don't pay an f32 round trip on the step's largest tensor
-    y = _pf.fftconv_fused_fwd(u_in, k_in, d_arr,
-                              r, m, cb, conj_filter=conj_filter,
-                              interpret=PALLAS_FFTCONV_INTERPRET)
-    return y[..., :seqlen]
+    out = _pf.fftconv_fused_fwd(u_in, k_in, d_arr,
+                                r, m, cb, conj_filter=conj_filter,
+                                interpret=PALLAS_FFTCONV_INTERPRET,
+                                save_spectrum=save_spectrum)
+    if save_spectrum:
+        y, ur_s, ui_s = out
+        return y[..., :seqlen], ur_s, ui_s
+    return out[..., :seqlen]
 
 
 def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
@@ -302,6 +311,14 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
     if _use_mxu_fft(fft_size, _rows(u.shape)):
         pplan = _pallas_conv_plan(u, k, fft_size, gelu)
         if pplan is not None:
+            spec_bytes = 2 * 2 * math.prod(u.shape[:-1]) * fft_size
+            if save_spectra and spec_bytes <= PALLAS_SAVE_SPEC_MAX_BYTES:
+                # save u's permuted spectrum: the backward then transforms
+                # only dy (one fwd transform instead of two) and gets dD
+                # free via Parseval from the dk accumulator
+                y, ur_s, ui_s = _pallas_conv_apply(
+                    u, k, D, fft_size, pplan, save_spectrum=True)
+                return y.astype(u.dtype), (None, k, D, (ur_s, ui_s), None)
             y = _pallas_conv_apply(u, k, D, fft_size, pplan).astype(u.dtype)
             return y, (u, k, D, None, None)
         ur, ui = fft_chain_ri(u.astype(f32), fft_size)
@@ -330,10 +347,13 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
 
 def _fftconv_bwd(gelu, save_spectra, res, dy):
     u, k, D, u_f_saved, k_f_saved = res
-    seqlen = u.shape[-1]
+    seqlen = dy.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
     f32 = jnp.float32
 
+    if u is None:  # fused-Pallas forward saved u's spectrum
+        pplan = _pallas_conv_plan(dy, k, fft_size, False)
+        return _fftconv_bwd_pallas_spec(res, dy, fft_size, pplan)
     if not gelu and _packed_eligible(u, k, fft_size):
         return _fftconv_bwd_packed(res, dy, fft_size)
     if _use_mxu_fft(fft_size, _rows(u.shape)) or fft_size >= TWO_STEP_FFT_MIN:
@@ -670,6 +690,37 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
     dD = _reduce_to_shape(dD_full.reshape(1, c, 1),
                           D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
+def _fftconv_bwd_pallas_spec(res, dy, fft_size, plan_rmc):
+    """Backward reusing u's spectrum saved by the fused-Pallas forward:
+    one dy transform per program; dk (inverse included) and dD (Parseval)
+    come straight out of the kernel."""
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    _, k, D, (ur_s, ui_s), _ = res
+    r, m, cb = plan_rmc
+    seqlen = dy.shape[-1]
+    lp = (r // 2) * m
+    dy_in = (jnp.pad(dy, [(0, 0), (0, 0), (0, lp - seqlen)])
+             if seqlen < lp else dy)
+    k_in = k
+    if k.shape[-1] < lp:
+        k_in = jnp.pad(k_in, [(0, 0), (0, lp - k.shape[-1])])
+    d_arr = (jnp.zeros((dy.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (dy.shape[1],)))
+    du, dk_t, dD_c = _pf.fftconv_fused_bwd_spec(
+        ur_s, ui_s, dy_in, k_in, d_arr, r, m, cb,
+        interpret=PALLAS_FFTCONV_INTERPRET)
+    du = du[..., :seqlen]
+    dk = dk_t[..., :seqlen].reshape(k.shape)
+
+    c = k.shape[0]
+    D_arr = jnp.asarray(D)
+    dD = _reduce_to_shape(dD_c.reshape(1, c, 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(dy.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 
 
 def _fftconv_bwd_long(gelu, res, dy, fft_size):

@@ -130,7 +130,12 @@ def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms=None):
 
 def _conv_kernel(u_ref, k_ref, d_ref,
                  frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri, fms, cms,
-                 y_ref, ksr_ref, ksi_ref, *, r: int, m: int, conj: bool):
+                 y_ref, *out_refs, r: int, m: int, conj: bool,
+                 save_spectrum: bool = False):
+    if save_spectrum:
+        zr_ref, zi_ref, ksr_ref, ksi_ref = out_refs
+    else:
+        ksr_ref, ksi_ref = out_refs
     """One (channel-block, batch) program: full causal conv for CB rows.
 
     The filter spectrum is computed IN-KERNEL at batch index 0 (grid's
@@ -152,6 +157,9 @@ def _conv_kernel(u_ref, k_ref, d_ref,
 
     u = u_ref[0]  # (CB, Lp), Lp = r2*m
     zr, zi = _fwd_transform(u, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+    if save_spectrum:
+        zr_ref[0] = zr.astype(zr_ref.dtype)
+        zi_ref[0] = zi.astype(zi_ref.dtype)
 
     # bin-wise multiply with the filter spectrum (r, CB, m)
     kr = ksr_ref[:].astype(st)
@@ -181,13 +189,16 @@ def _conv_kernel(u_ref, k_ref, d_ref,
 
 
 def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
-                      conj_filter: bool = False, interpret: bool = False):
+                      conj_filter: bool = False, interpret: bool = False,
+                      save_spectrum: bool = False):
     """Causal conv of u with the (C, Lp) time-domain filter k, plus u*D.
     The filter spectrum is computed in-kernel (scratch-cached per channel
     block); conj_filter=True convolves with the conjugated spectrum
     (correlation — the input-gradient computation).
 
-    u: (B, C, Lp) with Lp = (r//2)*m; returns (B, C, Lp) in u.dtype.
+    u: (B, C, Lp) with Lp = (r//2)*m; returns (B, C, Lp) in u.dtype —
+    or (y, ur, ui) with u's (B, r, C, m) permuted spectrum when
+    save_spectrum (the VJP saves it so the backward skips u's transform).
     """
     bsz, c, lp = u.shape
     assert lp == (r // 2) * m, (lp, r, m)
@@ -200,8 +211,17 @@ def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
                      memory_space=pltpu.VMEM)
         for v in vals
     ]
-    kernel = functools.partial(_conv_kernel, r=r, m=m, conj=conj_filter)
-    return pl.pallas_call(
+    kernel = functools.partial(_conv_kernel, r=r, m=m, conj=conj_filter,
+                               save_spectrum=save_spectrum)
+    out_specs = [pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, c, lp), u.dtype)]
+    if save_spectrum:
+        # u's digit-permuted spectrum, for the backward to reuse
+        out_specs += [pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((bsz, r, c, m), _STORE_DTYPE)] * 2
+    outs = pl.pallas_call(
         kernel,
         grid=(c // cb, bsz),  # batch innermost: filter/const blocks stay put
         in_specs=[
@@ -215,9 +235,8 @@ def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
                          memory_space=pltpu.VMEM),
             *const_specs,
         ],
-        out_specs=pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+        out_specs=out_specs if save_spectrum else out_specs[0],
+        out_shape=out_shape if save_spectrum else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
@@ -225,6 +244,7 @@ def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
         interpret=interpret,
         # k keeps its native dtype: the kernel's dots round to bf16 anyway
     )(u, k, jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
+    return outs
 
 
 def _bwd_kernel(u_ref, dy_ref, k_ref, d_ref,
@@ -351,6 +371,137 @@ def fftconv_fused_bwd(u, dy, k, D, r: int, m: int, cb: int,
     )(u, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
     return du, pr, pi, dd[:, 0]
+
+
+def _bwd_spec_kernel(ur_ref, ui_ref, dy_ref, k_ref, d_ref,
+                     frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                     fms, cms,
+                     du_ref, dk_ref, dd_ref, pr_ref, pi_ref,
+                     ksr_ref, ksi_ref, *, r: int, m: int):
+    """Backward program consuming u's spectrum SAVED by the forward: one dy
+    transform per program; dk's batch-summed spectrum accumulates in VMEM
+    scratch and its inverse runs IN-KERNEL on the last batch program, so the
+    (r, C, m) f32 spectrum never touches HBM; dD falls out of the same
+    accumulator via Parseval."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    cb = dy_ref.shape[1]
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
+
+    dy = dy_ref[0]
+    ur = ur_ref[0].astype(st)
+    ui = ui_ref[0].astype(st)
+    dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+
+    def _inverse(wr, wi):
+        """Shared inverse pipeline: permuted spectrum pair -> (cb, Lp) real."""
+        t1 = _mm(wr, cmr[:])
+        t2 = _mm(wi, cmi[:])
+        t3 = _mm(wr + wi, cms[:])
+        hr = t1 - t2
+        hi = t3 - t1 - t2
+        tr = twr[:].astype(st)[:, None, :]
+        ti = twi[:].astype(st)[:, None, :]
+        h3r = hr.reshape(r, cb, m)
+        h3i = hi.reshape(r, cb, m)
+        h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
+        yr = (_mm(crr[:], h3r.reshape(r, cb * m))
+              - _mm(cri[:], h3i.reshape(r, cb * m)))
+        return jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    du = _inverse((dr * kr - di * ki).reshape(r * cb, m),
+                  (dr * ki + di * kr).reshape(r * cb, m))
+    du = du.astype(jnp.float32) + dy.astype(jnp.float32) * d_ref[:, 0][:, None]
+    du_ref[0] = du.astype(du_ref.dtype)
+
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk_ref[:] = _inverse(spr.reshape(r * cb, m),
+                             spi.reshape(r * cb, m)).astype(dk_ref.dtype)
+        # Parseval: sum_l u*dy per channel = sum_bins Re(dk_spec) / N
+        dd = jnp.sum(spr, axis=(0, 2), keepdims=False) / (r * m)
+        dd_ref[:] = jnp.broadcast_to(dd[:, None], (cb, 128)).astype(jnp.float32)
+
+
+def fftconv_fused_bwd_spec(ur, ui, dy, k, D, r: int, m: int, cb: int,
+                           interpret: bool = False):
+    """(du, dk_time, dD) given u's saved (B, r, C, m) spectrum. The whole
+    filter gradient (spectrum accumulate + inverse) stays in VMEM."""
+    bsz, c, lp = dy.shape
+    assert lp == (r // 2) * m and k.shape == (c, lp)
+    assert ur.shape == (bsz, r, c, m), ur.shape
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_spec_kernel, r=r, m=m)
+    spec_in = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                           memory_space=pltpu.VMEM)
+    du, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),
+        in_specs=[
+            spec_in,
+            spec_in,
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((c, lp), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        interpret=interpret,
+    )(ur, ui, dy, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dk, dd[:, 0]
 
 
 def _spec_accum_kernel(u_ref, dy_ref,
