@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--n_layer", type=int, default=2)
     ap.add_argument("--max_length", type=int, default=1024)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--recurrent", action="store_true",
+                    help="O(1)-per-token modal-distilled stepper "
+                         "(hyena_dna_tpu.recurrent) instead of full "
+                         "re-forward per token")
+    ap.add_argument("--n_modes", type=int, default=64)
     args = ap.parse_args(argv)
 
     tok = CharacterTokenizer(model_max_length=args.max_length + 2)
@@ -40,14 +45,25 @@ def main(argv=None):
     params = load_params(args.ckpt, model, sample)
 
     prompt_ids = jnp.asarray(tok.encode(args.prompt))[None]
-    out = generate(
-        model, params, prompt_ids,
-        max_new_tokens=args.max_new_tokens,
-        rng=jax.random.PRNGKey(args.seed),
-        temperature=args.temperature,
-        top_k=args.top_k,
-        top_p=args.top_p,
-    )
+    if args.recurrent:
+        from hyena_dna_tpu.recurrent import distill
+
+        rec = distill(model, params, n_modes=args.n_modes)
+        out = rec.generate(
+            prompt_ids, args.max_new_tokens,
+            rng=(jax.random.PRNGKey(args.seed)
+                 if args.temperature != 0 else None),
+            temperature=args.temperature, top_k=args.top_k,
+        )
+    else:
+        out = generate(
+            model, params, prompt_ids,
+            max_new_tokens=args.max_new_tokens,
+            rng=jax.random.PRNGKey(args.seed),
+            temperature=args.temperature,
+            top_k=args.top_k,
+            top_p=args.top_p,
+        )
     text = tok.decode(out[0])
     print(text)
     return text

@@ -70,3 +70,16 @@ def test_generate_cli(tiny_ckpt, capsys):
     # prompt survives; sampled padded-vocab ids (untrained net) are dropped
     assert body.startswith("ACGT")
     assert set(body) <= set("ACGTN")
+
+
+def test_generate_cli_recurrent(tiny_ckpt):
+    from hyena_dna_tpu.evals.generate_cli import main
+
+    ckpt, d, nl, L = tiny_ckpt
+    text = main([
+        "--ckpt", ckpt, "--prompt", "ACGT", "--max_new_tokens", "8",
+        "--d_model", str(d), "--n_layer", str(nl), "--max_length", str(L),
+        "--recurrent", "--n_modes", "24", "--temperature", "0",
+    ])
+    body = text.replace("[BOS]", "").replace("[SEP]", "").replace("[EOS]", "")
+    assert body.startswith("ACGT") and set(body) <= set("ACGTN")
