@@ -71,12 +71,18 @@ def _dft_consts(r: int, m: int, n: int):
         # in each complex product (25% fewer MXU FLOPs in those passes)
         fm_s=fm_re + fm_im,
         cm_s=(fm_re - fm_im) / m,
+        # Karatsuba sums for the batch-packed kernels' complex-input first
+        # pass and complex-output last pass
+        fr_s=(fr_re + fr_im)[:, :r2],
+        cr_s=(fr_re[:r2, :] - fr_im[:r2, :]) / r,
     )
     return {k: jnp.asarray(v, jnp.float32) for k, v in consts.items()}
 
 
 _CONST_KEYS = ("fr_re", "fr_im", "fm_re", "fm_im", "tw_re", "tw_im",
                "cm_re", "cm_im", "cr_re", "cr_im", "fm_s", "cm_s")
+# packed kernels additionally take the first/last-pass Karatsuba sums
+_CONST_KEYS_PK = _CONST_KEYS + ("fr_s", "cr_s")
 
 
 # MXU dot input dtype and VMEM interior storage dtype; tests may set f32 to
@@ -96,16 +102,10 @@ def _mm(a, b):
     ).astype(_STORE_DTYPE)
 
 
-def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms=None):
-    """(CB, Lp) real -> digit-permuted spectrum pair, each (r, CB, m),
-    stored in _STORE_DTYPE throughout."""
+def _mid_transform(gr, gi, cb, r, m, twr, twi, fmr, fmi, fms):
+    """Shared tail of the forward transform: twiddle the (r, CB*m) pass-1
+    output pair, then contract the minor digit with F_m."""
     st = _STORE_DTYPE
-    r2 = r // 2
-    x = x.astype(st)
-    xt = jnp.transpose(x.reshape(cb, r2, m), (1, 0, 2)).reshape(r2, cb * m)
-    # pass 1: contract the (half) major digit -> (r, CB*m)
-    gr = _mm(frr[:], xt)
-    gi = _mm(fri[:], xt)
     # twiddle W_n^{pb}: broadcast over CB via the (r, CB, m) view
     tr = twr[:].astype(st)[:, None, :]
     ti = twi[:].astype(st)[:, None, :]
@@ -126,6 +126,82 @@ def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms=None):
         zr = _mm(gr, fmr[:]) - _mm(gi, fmi[:])
         zi = _mm(gr, fmi[:]) + _mm(gi, fmr[:])
     return zr.reshape(r, cb, m), zi.reshape(r, cb, m)
+
+
+def _fwd_transform(x, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms=None):
+    """(CB, Lp) real -> digit-permuted spectrum pair, each (r, CB, m),
+    stored in _STORE_DTYPE throughout."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    x = x.astype(st)
+    xt = jnp.transpose(x.reshape(cb, r2, m), (1, 0, 2)).reshape(r2, cb * m)
+    # pass 1: contract the (half) major digit -> (r, CB*m)
+    gr = _mm(frr[:], xt)
+    gi = _mm(fri[:], xt)
+    return _mid_transform(gr, gi, cb, r, m, twr, twi, fmr, fmi, fms)
+
+
+def _fwd_transform_c(x0, x1, cb, r, m, frr, fri, frs, fmr, fmi, twr, twi,
+                     fms):
+    """Batch-packed transform: spectrum of the COMPLEX signal x0 + i*x1
+    (both (CB, Lp) real rows). One complex chain covers two real rows —
+    the conv is linear and the filter is shared, so
+    ifft(fft(x0 + i x1) * K) = conv(x0, k) + i conv(x1, k) with no
+    conjugate-symmetry unpacking anywhere."""
+    st = _STORE_DTYPE
+    r2 = r // 2
+    xt0 = jnp.transpose(x0.astype(st).reshape(cb, r2, m),
+                        (1, 0, 2)).reshape(r2, cb * m)
+    xt1 = jnp.transpose(x1.astype(st).reshape(cb, r2, m),
+                        (1, 0, 2)).reshape(r2, cb * m)
+    # complex pass 1, Karatsuba: (F_r^re + i F_r^im)(x0 + i x1) in 3 matmuls
+    t1 = _mm(frr[:], xt0)
+    t2 = _mm(fri[:], xt1)
+    t3 = _mm(frs[:], xt0 + xt1)
+    gr = t1 - t2
+    gi = t3 - t1 - t2
+    return _mid_transform(gr, gi, cb, r, m, twr, twi, fmr, fmi, fms)
+
+
+def _inv_common(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms):
+    """Inverse pass 1 (Karatsuba contract q with conj(F_m)/m) + conjugate
+    twiddle: (r*CB, m) product pair -> (r, CB*m) pair for the final pass."""
+    st = _STORE_DTYPE
+    t1 = _mm(wr, cmr[:])
+    t2 = _mm(wi, cmi[:])
+    t3 = _mm(wr + wi, cms[:])
+    hr = t1 - t2
+    hi = t3 - t1 - t2
+    tr = twr[:].astype(st)[:, None, :]
+    ti = twi[:].astype(st)[:, None, :]
+    h3r = hr.reshape(r, cb, m)
+    h3i = hi.reshape(r, cb, m)
+    h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
+    return h3r.reshape(r, cb * m), h3i.reshape(r, cb * m)
+
+
+def _inverse_real(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms, crr, cri):
+    """Full inverse, REAL part only -> (CB, Lp) natural-order rows."""
+    r2 = r // 2
+    a, b = _inv_common(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms)
+    yr = _mm(crr[:], a) - _mm(cri[:], b)
+    return jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+
+
+def _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms, crr, cri, crs):
+    """Full inverse with COMPLEX output (batch-packed): returns the real and
+    imaginary time-domain rows, each (CB, Lp) natural order."""
+    r2 = r // 2
+    a, b = _inv_common(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms)
+    # complex last pass, Karatsuba: (C_r^re + i C_r^im)(a + i b)
+    t1 = _mm(crr[:], a)
+    t2 = _mm(cri[:], b)
+    t3 = _mm(crs[:], a + b)
+    yre = t1 - t2
+    yim = t3 - t1 - t2
+    y0 = jnp.transpose(yre.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    y1 = jnp.transpose(yim.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    return y0, y1
 
 
 def _conv_kernel(u_ref, k_ref, d_ref,
@@ -167,23 +243,7 @@ def _conv_kernel(u_ref, k_ref, d_ref,
     wr = (zr * kr - zi * ki).reshape(r * cb, m)
     wi = (zr * ki + zi * kr).reshape(r * cb, m)
 
-    # inverse pass 1 (Karatsuba): contract q with conj(F_m)/m -> (r, CB, m[b])
-    t1 = _mm(wr, cmr[:])
-    t2 = _mm(wi, cmi[:])
-    t3 = _mm(wr + wi, cms[:])
-    hr = t1 - t2
-    hi = t3 - t1 - t2
-    # conj twiddle
-    tr = twr[:].astype(st)[:, None, :]
-    ti = twi[:].astype(st)[:, None, :]
-    h3r = hr.reshape(r, cb, m)
-    h3i = hi.reshape(r, cb, m)
-    h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
-    # inverse pass 2: contract p with conj(F_r)/r, REAL part only
-    # (r2, r) @ (r, CB*m) -> (r2, CB, m)
-    yr = _mm(crr[:], h3r.reshape(r, cb * m)) - _mm(cri[:], h3i.reshape(r, cb * m))
-
-    y = jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    y = _inverse_real(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms, crr, cri)
     y = y.astype(jnp.float32) + u.astype(jnp.float32) * d_ref[:, 0][:, None]
     y_ref[0] = y.astype(y_ref.dtype)
 
@@ -279,18 +339,7 @@ def _bwd_kernel(u_ref, dy_ref, k_ref, d_ref,
     ki = ksi_ref[:].astype(st)
     wr = (dr * kr - di * ki).reshape(r * cb, m)
     wi = (dr * ki + di * kr).reshape(r * cb, m)
-    t1 = _mm(wr, cmr[:])
-    t2 = _mm(wi, cmi[:])
-    t3 = _mm(wr + wi, cms[:])
-    hr = t1 - t2
-    hi = t3 - t1 - t2
-    tr = twr[:].astype(st)[:, None, :]
-    ti = twi[:].astype(st)[:, None, :]
-    h3r = hr.reshape(r, cb, m)
-    h3i = hi.reshape(r, cb, m)
-    h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
-    yr = _mm(crr[:], h3r.reshape(r, cb * m)) - _mm(cri[:], h3i.reshape(r, cb * m))
-    du = jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+    du = _inverse_real(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms, crr, cri)
     du = du.astype(jnp.float32) + dy.astype(jnp.float32) * d_ref[:, 0][:, None]
     du_ref[0] = du.astype(du_ref.dtype)
 
@@ -402,20 +451,8 @@ def _bwd_spec_kernel(ur_ref, ui_ref, dy_ref, k_ref, d_ref,
     dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
 
     def _inverse(wr, wi):
-        """Shared inverse pipeline: permuted spectrum pair -> (cb, Lp) real."""
-        t1 = _mm(wr, cmr[:])
-        t2 = _mm(wi, cmi[:])
-        t3 = _mm(wr + wi, cms[:])
-        hr = t1 - t2
-        hi = t3 - t1 - t2
-        tr = twr[:].astype(st)[:, None, :]
-        ti = twi[:].astype(st)[:, None, :]
-        h3r = hr.reshape(r, cb, m)
-        h3i = hi.reshape(r, cb, m)
-        h3r, h3i = h3r * tr + h3i * ti, h3i * tr - h3r * ti
-        yr = (_mm(crr[:], h3r.reshape(r, cb * m))
-              - _mm(cri[:], h3i.reshape(r, cb * m)))
-        return jnp.transpose(yr.reshape(r2, cb, m), (1, 0, 2)).reshape(cb, r2 * m)
+        return _inverse_real(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                             crr, cri)
 
     kr = ksr_ref[:].astype(st)
     ki = ksi_ref[:].astype(st)
@@ -566,6 +603,361 @@ def fftconv_fused_dk_spec(u, dy, r: int, m: int, cb: int,
         ],
         interpret=interpret,
     )(u, dy, *vals)
+
+
+# ---------------------------------------------------------------------------
+# Batch-packed kernels: two real batch rows ride ONE complex transform.
+#
+# The conv is linear in u and the per-channel filter is shared across batch,
+# so ifft(fft(u0 + i*u1) * K) = conv(u0, k) + i*conv(u1, k): forward and
+# input-gradient need NO conjugate-symmetry unpacking (real part -> row 0,
+# imaginary part -> row 1). The filter gradient needs sum_b Dy_b*conj(U_b)
+# of the UNPACKED spectra, but with packed Zd = Dy0 + i*Dy1, Zu = U0 + i*U1:
+#
+#   P := Zd * conj(Zu) = [Dy0 conj(U0) + Dy1 conj(U1)] + i[cross terms]
+#   and (by Hermitian symmetry of real-signal spectra)
+#   Dy0 conj(U0) + Dy1 conj(U1) = (P + conj(P^R)) / 2   (R = bin reversal),
+#   ifft(conj(P^R)) = conj(ifft(P))  =>  dk = Re(ifft(P)).
+#
+# The kernel's real-part-only inverse (_inverse_real) IS Re(ifft(.)), so the
+# dk/dD tail is identical to the unpacked kernel — the cross terms land in
+# the discarded imaginary part. Net at the 32k bench shape: matmul FLOPs
+# drop ~1.8x (pass1 3 half-matmuls vs 4, interior 3 vs 6 per 2 rows, last
+# pass 3 half vs 4) and twiddle/bin-multiply VPU work halves.
+# ---------------------------------------------------------------------------
+
+
+def _conv_kernel_packed(u_ref, k_ref, d_ref,
+                        frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                        fms, cms, frs, crs,
+                        y_ref, *out_refs, r: int, m: int, conj: bool,
+                        save_spectrum: bool = False):
+    """One (channel-block, batch-pair) program: fused causal conv for CB
+    channel rows of TWO batch elements via one packed complex transform."""
+    if save_spectrum:
+        zr_ref, zi_ref, ksr_ref, ksi_ref = out_refs
+    else:
+        ksr_ref, ksi_ref = out_refs
+    st = _STORE_DTYPE
+    cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = (-ki0) if conj else ki0
+
+    u0 = u_ref[0]
+    u1 = u_ref[1]
+    zr, zi = _fwd_transform_c(u0, u1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+    if save_spectrum:
+        zr_ref[0] = zr.astype(zr_ref.dtype)
+        zi_ref[0] = zi.astype(zi_ref.dtype)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (zr * kr - zi * ki).reshape(r * cb, m)
+    wi = (zr * ki + zi * kr).reshape(r * cb, m)
+    y0, y1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                        crr, cri, crs)
+    d = d_ref[:, 0][:, None]
+    y_ref[0] = (y0.astype(jnp.float32)
+                + u0.astype(jnp.float32) * d).astype(y_ref.dtype)
+    y_ref[1] = (y1.astype(jnp.float32)
+                + u1.astype(jnp.float32) * d).astype(y_ref.dtype)
+
+
+def fftconv_fused_fwd_packed(u, k, D, r: int, m: int, cb: int,
+                             conj_filter: bool = False,
+                             interpret: bool = False,
+                             save_spectrum: bool = False):
+    """Batch-packed fused conv forward. u: (B, C, Lp) with B EVEN; returns
+    (B, C, Lp) — or (y, zr, zi) with the PACKED (B//2, r, C, m) spectrum
+    when save_spectrum."""
+    bsz, c, lp = u.shape
+    assert bsz % 2 == 0, bsz
+    assert lp == (r // 2) * m and k.shape == (c, lp)
+    assert c % cb == 0
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_conv_kernel_packed, r=r, m=m,
+                               conj=conj_filter, save_spectrum=save_spectrum)
+    out_specs = [pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bsz, c, lp), u.dtype)]
+    if save_spectrum:
+        out_specs += [pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((bsz // 2, r, c, m),
+                                           _STORE_DTYPE)] * 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=out_specs if save_spectrum else out_specs[0],
+        out_shape=out_shape if save_spectrum else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        interpret=interpret,
+    )(u, k, jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)),
+      *vals)
+    return outs
+
+
+def _bwd_kernel_packed(u_ref, dy_ref, k_ref, d_ref,
+                       frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                       fms, cms, frs, crs,
+                       du_ref, pr_ref, pi_ref, dd_ref, ksr_ref, ksi_ref,
+                       *, r: int, m: int):
+    """Batch-packed fused backward: one packed transform of (u0, u1) and
+    (dy0, dy1) each; du via the conjugated filter spectrum (complex-output
+    inverse); dk spectrum accumulates P = Zd*conj(Zu) whose real-part
+    inverse is the filter gradient (see module comment)."""
+    st = _STORE_DTYPE
+    cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
+
+    u0 = u_ref[0]
+    u1 = u_ref[1]
+    dy0 = dy_ref[0]
+    dy1 = dy_ref[1]
+    ur, ui = _fwd_transform_c(u0, u1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+    dr, di = _fwd_transform_c(dy0, dy1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (dr * kr - di * ki).reshape(r * cb, m)
+    wi = (dr * ki + di * kr).reshape(r * cb, m)
+    du0, du1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                          crr, cri, crs)
+    d = d_ref[:, 0][:, None]
+    du_ref[0] = (du0.astype(jnp.float32)
+                 + dy0.astype(jnp.float32) * d).astype(du_ref.dtype)
+    du_ref[1] = (du1.astype(jnp.float32)
+                 + dy1.astype(jnp.float32) * d).astype(du_ref.dtype)
+
+    # P = Zd * conj(Zu), f32 accumulated over the batch-pair grid dim
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+    dd = jnp.sum(u0.astype(jnp.float32) * dy0.astype(jnp.float32)
+                 + u1.astype(jnp.float32) * dy1.astype(jnp.float32),
+                 axis=1, keepdims=True)
+    dd = jnp.broadcast_to(dd, (cb, 128))
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+        dd_ref[:] = dd
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+        dd_ref[:] = dd_ref[:] + dd
+
+
+def fftconv_fused_bwd_packed(u, dy, k, D, r: int, m: int, cb: int,
+                             interpret: bool = False):
+    """(du, dk_spec_r, dk_spec_i, dD) via batch-packed transforms; the
+    returned dk spectrum is sum_pairs Zd*conj(Zu) — its REAL-part inverse
+    (which the caller's ifft_chain_real already takes) is the filter grad."""
+    bsz, c, lp = u.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert c % cb == 0
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_kernel_packed, r=r, m=m)
+    du, pr, pi, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        interpret=interpret,
+    )(u, dy, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, pr, pi, dd[:, 0]
+
+
+def _bwd_spec_kernel_packed(ur_ref, ui_ref, dy_ref, k_ref, d_ref,
+                            frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                            fms, cms, frs, crs,
+                            du_ref, dk_ref, dd_ref, pr_ref, pi_ref,
+                            ksr_ref, ksi_ref, *, r: int, m: int):
+    """Batch-packed backward consuming the PACKED u-spectrum saved by the
+    forward: one packed dy transform per program; dk = Re(ifft(sum P)) and
+    dD = Re(sum_bins P)/N run in-kernel on the last batch program."""
+    st = _STORE_DTYPE
+    cb = dy_ref.shape[1]
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0
+
+    dy0 = dy_ref[0]
+    dy1 = dy_ref[1]
+    ur = ur_ref[0].astype(st)
+    ui = ui_ref[0].astype(st)
+    dr, di = _fwd_transform_c(dy0, dy1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (dr * kr - di * ki).reshape(r * cb, m)
+    wi = (dr * ki + di * kr).reshape(r * cb, m)
+    du0, du1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                          crr, cri, crs)
+    d = d_ref[:, 0][:, None]
+    du_ref[0] = (du0.astype(jnp.float32)
+                 + dy0.astype(jnp.float32) * d).astype(du_ref.dtype)
+    du_ref[1] = (du1.astype(jnp.float32)
+                 + dy1.astype(jnp.float32) * d).astype(du_ref.dtype)
+
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk_ref[:] = _inverse_real(spr.reshape(r * cb, m),
+                                  spi.reshape(r * cb, m), cb, r, m,
+                                  twr, twi, cmr, cmi, cms,
+                                  crr, cri).astype(dk_ref.dtype)
+        dd = jnp.sum(spr, axis=(0, 2), keepdims=False) / (r * m)
+        dd_ref[:] = jnp.broadcast_to(dd[:, None], (cb, 128)).astype(jnp.float32)
+
+
+def fftconv_fused_bwd_spec_packed(ur, ui, dy, k, D, r: int, m: int, cb: int,
+                                  interpret: bool = False):
+    """(du, dk_time, dD) given the PACKED (B//2, r, C, m) u-spectrum saved
+    by fftconv_fused_fwd_packed."""
+    bsz, c, lp = dy.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert ur.shape == (bsz // 2, r, c, m), ur.shape
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_spec_kernel_packed, r=r, m=m)
+    spec_in = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                           memory_space=pltpu.VMEM)
+    du, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            spec_in,
+            spec_in,
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((c, lp), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        interpret=interpret,
+    )(ur, ui, dy, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dk, dd[:, 0]
 
 
 # channel-block sizes keeping the per-program VMEM working set ~<= 8 MB

@@ -444,3 +444,59 @@ def test_pallas_fused_fftconv_fwd_bwd_parity():
         F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET = old
         PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
         PF._CB_BY_N.pop(4096, None)
+
+
+def test_pallas_packed_vs_unpacked_paths():
+    """The batch-packed fused kernels (two real rows per complex transform)
+    match the unpacked kernels in forward and all gradients, on both the
+    spectrum-saving and recompute backward paths; odd batch falls back."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    PF = importlib.import_module("hyena_dna_tpu.ops.pallas_fftconv")
+    rng = np.random.default_rng(31)
+    u = jnp.asarray(rng.normal(size=(4, 4, 2048)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(4, 2048)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    old = (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
+           F.PALLAS_PACK_BATCH, F.PALLAS_SAVE_SPEC_MAX_BYTES)
+    old_dot = (PF._DOT_DTYPE, PF._STORE_DTYPE)
+    F._use_mxu_fft = lambda n, rows=1: n >= 4096
+    F.MXU_SPECTRUM_DTYPE = None
+    F.PALLAS_FFTCONV_INTERPRET = True
+    PF._CB_BY_N[4096] = 2
+    PF._DOT_DTYPE = PF._STORE_DTYPE = jnp.float32
+    loss = lambda *a: jnp.sum(F.fftconv(*a, False) ** 2)
+    try:
+        F.PALLAS_PACK_BATCH = False
+        ref_y = F.fftconv(u, k, D, False)
+        ref_g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+
+        F.PALLAS_PACK_BATCH = True
+        for save_bytes in (1 << 29, 0):  # spec-saving and recompute bwds
+            F.PALLAS_SAVE_SPEC_MAX_BYTES = save_bytes
+            y = F.fftconv(u, k, D, False)
+            np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                       atol=2e-3, rtol=1e-3)
+            g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+            for a, b, name in zip(g, ref_g, ("du", "dk", "dD")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-3,
+                    err_msg=f"{name} save_bytes={save_bytes}")
+
+        # odd batch: packing must disengage, results still correct
+        y3 = F.fftconv(u[:3], k, D, False)
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(ref_y[:3]),
+                                   atol=2e-3, rtol=1e-3)
+        g3 = jax.grad(loss, argnums=(0,))(u[:3], k, D)[0]
+        np.testing.assert_allclose(np.asarray(g3),
+                                   np.asarray(jax.grad(loss)(u[:3], k, D)),
+                                   atol=1e-5)
+    finally:
+        (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
+         F.PALLAS_PACK_BATCH, F.PALLAS_SAVE_SPEC_MAX_BYTES) = old
+        PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
+        PF._CB_BY_N.pop(4096, None)
