@@ -35,6 +35,7 @@ from flax import linen as fnn
 
 from hyena_dna_tpu.models.attention import MHA
 from hyena_dna_tpu.models.hyena import HyenaOperator
+from hyena_dna_tpu.ops.layer_norm import LayerNormF32
 
 
 def make_mixer(
@@ -191,10 +192,13 @@ class Block(fnn.Module):
     mesh: Any = None
 
     def setup(self):
-        norm_dtype = jnp.float32  # LN params + compute in fp32
+        # LN: f32 params + stats, but emit the block dtype directly and keep
+        # the backward scatter/replay-free (ops/layer_norm.py) — the flax LN
+        # at dtype=f32 materializes the normalized f32 (B, L, d) tensor for
+        # its backward, an extra 134 MB r/w per norm at the 32k bench shape
         self.dropout1 = fnn.Dropout(rate=self.resid_dropout1)
-        self.norm1 = fnn.LayerNorm(epsilon=self.layer_norm_epsilon,
-                                   dtype=norm_dtype)
+        self.norm1 = LayerNormF32(epsilon=self.layer_norm_epsilon,
+                                  out_dtype=self.dtype)
         self.mixer = make_mixer(
             self.d_model,
             self.layer_cfg,
@@ -207,8 +211,8 @@ class Block(fnn.Module):
         )
         if not self.identity_mlp:
             self.dropout2 = fnn.Dropout(rate=self.resid_dropout2)
-            self.norm2 = fnn.LayerNorm(epsilon=self.layer_norm_epsilon,
-                                       dtype=norm_dtype)
+            self.norm2 = LayerNormF32(epsilon=self.layer_norm_epsilon,
+                                      out_dtype=self.dtype)
             self.mlp = Mlp(
                 hidden_features=self.d_inner or 4 * self.d_model,
                 out_features=self.d_model,
@@ -227,7 +231,7 @@ class Block(fnn.Module):
         assert not self.identity_mlp
         dropped = self.dropout1(hidden_states, deterministic=deterministic)
         residual = (dropped + residual) if residual is not None else dropped
-        hidden_states = self.norm1(residual.astype(jnp.float32)).astype(self.dtype)
+        hidden_states = self.norm1(residual)
         if self.residual_in_fp32:
             residual = residual.astype(jnp.float32)
         out = self.mixer(hidden_states, deterministic)
@@ -242,7 +246,7 @@ class Block(fnn.Module):
         """norm2 -> mlp: recompute the boundary hidden state from the
         post-mixer residual."""
         assert not self.identity_mlp
-        hidden = self.norm2(residual.astype(jnp.float32)).astype(self.dtype)
+        hidden = self.norm2(residual)
         return self.mlp(hidden)
 
     def __call__(
@@ -254,8 +258,7 @@ class Block(fnn.Module):
         if self.identity_mlp:
             dropped = self.dropout1(hidden_states, deterministic=deterministic)
             residual = (dropped + residual) if residual is not None else dropped
-            hidden_states = self.norm1(
-                residual.astype(jnp.float32)).astype(self.dtype)
+            hidden_states = self.norm1(residual)
             if self.residual_in_fp32:
                 residual = residual.astype(jnp.float32)
             out = self.mixer(hidden_states, deterministic)

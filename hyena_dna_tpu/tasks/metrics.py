@@ -39,14 +39,26 @@ def _flatten_logits(logits: jax.Array) -> jax.Array:
     return logits.reshape(-1, logits.shape[-1])
 
 
+def _pick_label_logit(logits, y_safe):
+    """logits[i, y[i]] — as a one-hot multiply-reduce for small vocab (a
+    row gather over (N, V<=512) lowers to a serialized TPU gather, and its
+    BACKWARD to a scatter; the one-hot form is a single vectorized fusion
+    both ways — measured 1.8 ms -> ~0 at the 32k bench's 131k-token CE)."""
+    n = logits.shape[-1]
+    if n <= 512:
+        return jnp.sum(logits * jax.nn.one_hot(y_safe, n, dtype=logits.dtype),
+                       axis=-1)
+    return jnp.take_along_axis(logits, y_safe[:, None], axis=-1)[:, 0]
+
+
 def cross_entropy(logits, y, ignore_index: int = -100):
     """Mean CE over non-ignored positions (`metrics.py:179-182`)."""
     logits = _flatten_logits(logits).astype(jnp.float32)
     y = y.reshape(-1)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    # clip ignored labels to a valid index for the gather, then mask out
+    # clip ignored labels to a valid index, then mask out
     y_safe = jnp.where(y == ignore_index, 0, y)
-    nll = logz - jnp.take_along_axis(logits, y_safe[:, None], axis=-1)[:, 0]
+    nll = logz - _pick_label_logit(logits, y_safe)
     mask = (y != ignore_index).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
@@ -57,7 +69,7 @@ def cross_entropy_stats(logits, y, ignore_index: int = -100):
     y = y.reshape(-1)
     logz = jax.nn.logsumexp(logits, axis=-1)
     y_safe = jnp.where(y == ignore_index, 0, y)
-    nll = logz - jnp.take_along_axis(logits, y_safe[:, None], axis=-1)[:, 0]
+    nll = logz - _pick_label_logit(logits, y_safe)
     mask = (y != ignore_index).astype(jnp.float32)
     return jnp.sum(nll * mask), jnp.sum(mask)
 
