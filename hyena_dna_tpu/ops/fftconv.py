@@ -276,6 +276,82 @@ def _pallas_conv_plan(u, k, fft_size, gelu):
     return _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
 
 
+# 3-pass fused kernel (ops/pallas_fftconv3.py) for fft sizes >= 2^19: the
+# long-context range where the 2-pass kernel's factor matrices would blow
+# past the MXU sweet spot and the XLA chain pays ~6 HBM round trips per
+# transform. MEASURED AND REJECTED on v5e (2026-08-18): at its target size
+# n=2^19 (C=16, B=1) the fused kernel runs 3.09 ms/conv-fwd vs the XLA
+# chain's 2.81 ms — Mosaic's lowering of the middle-pass relayouts eats
+# the saved HBM round trips — and its compile is pathological (24 min at
+# 2^19; the AOT compile helper is OOM-killed at 2^20/2^21). Kept as a
+# gated experiment with interpret-mode parity tests (tests/test_fftconv3.py);
+# the long-context convs stay on the XLA chain-FFT path.
+PALLAS3_FFTCONV = False
+
+
+def _pallas3_plan(u, k, fft_size, gelu):
+    if not (PALLAS_FFTCONV and PALLAS3_FFTCONV) or gelu:
+        return None
+    if u.ndim != 3 or k.ndim != 2 or k.shape[0] != u.shape[1]:
+        return None
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        return None
+    if not (on_tpu or PALLAS_FFTCONV_INTERPRET):
+        return None
+    from hyena_dna_tpu.ops import pallas_fftconv3 as _pf3
+
+    return _pf3.plan3(fft_size, u.shape[1], u.shape[-1])
+
+
+def _pallas3_apply(u, k, D, fft_size, plan):
+    from hyena_dna_tpu.ops import pallas_fftconv3 as _pf3
+
+    (f1, f2, f3), cb = plan
+    seqlen = u.shape[-1]
+    lp = (f1 // 2) * f2 * f3
+    u_in = (jnp.pad(u, [(0, 0), (0, 0), (0, lp - seqlen)])
+            if seqlen < lp else u)
+    k_in = (jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
+            if k.shape[-1] < lp else k)
+    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (u.shape[1],)))
+    y = _pf3.fftconv3_fwd(u_in, k_in, d_arr, f1, f2, f3, cb,
+                          interpret=PALLAS_FFTCONV_INTERPRET)
+    return y[..., :seqlen]
+
+
+def _fftconv_bwd_pallas3(res, dy, fft_size, plan):
+    """Backward through the fused 3-pass kernel: du, dk (inverse included)
+    and dD (Parseval) all come straight out of one kernel."""
+    from hyena_dna_tpu.ops import pallas_fftconv3 as _pf3
+
+    u, k, D, _, _ = res
+    (f1, f2, f3), cb = plan
+    seqlen = u.shape[-1]
+    lp = (f1 // 2) * f2 * f3
+    pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
+    u_in = jnp.pad(u, pad) if pad else u
+    dy_in = jnp.pad(dy, pad) if pad else dy
+    k_in = (jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
+            if k.shape[-1] < lp else k)
+    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (u.shape[1],)))
+    du, dk_t, dD_c = _pf3.fftconv3_bwd(
+        u_in, dy_in, k_in, d_arr, f1, f2, f3, cb,
+        interpret=PALLAS_FFTCONV_INTERPRET)
+    du = du[..., :seqlen]
+    dk = dk_t[..., :seqlen].reshape(k.shape)
+    c = k.shape[0]
+    D_arr = jnp.asarray(D)
+    dD = _reduce_to_shape(dD_c.reshape(1, c, 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
 def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False,
                        save_spectrum=False, packed=False):
     from hyena_dna_tpu.ops import pallas_fftconv as _pf
@@ -317,6 +393,11 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
     if _packed_eligible(u, k, fft_size):
         y = fftconv_mxu_packed(u, k, D, gelu)
         return y, (u, k, D, None, None)
+    if not gelu:
+        p3 = _pallas3_plan(u, k, fft_size, gelu)
+        if p3 is not None:
+            y = _pallas3_apply(u, k, D, fft_size, p3).astype(u.dtype)
+            return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
         pplan = _pallas_conv_plan(u, k, fft_size, gelu)
         if pplan is not None:
@@ -368,6 +449,10 @@ def _fftconv_bwd(gelu, save_spectra, res, dy):
     if u is None:  # fused-Pallas forward saved u's spectrum
         pplan = _pallas_conv_plan(dy, k, fft_size, False)
         return _fftconv_bwd_pallas_spec(res, dy, fft_size, pplan)
+    if not gelu:
+        p3 = _pallas3_plan(u, k, fft_size, False)
+        if p3 is not None:
+            return _fftconv_bwd_pallas3(res, dy, fft_size, p3)
     if not gelu and _packed_eligible(u, k, fft_size):
         return _fftconv_bwd_packed(res, dy, fft_size)
     if _use_mxu_fft(fft_size, _rows(u.shape)) or fft_size >= TWO_STEP_FFT_MIN:
@@ -530,8 +615,9 @@ def fftconv_chunked(
         # 183 ms); only chunk sizes the kernel can't take (no plan / rows
         # over the MXU budget).
         fft_size = next_fast_fft_size(2 * l)
-        if (_use_mxu_fft(fft_size, _rows(u.shape))
-                and _pallas_conv_plan(u, k, fft_size, gelu) is not None):
+        if ((_use_mxu_fft(fft_size, _rows(u.shape))
+                and _pallas_conv_plan(u, k, fft_size, gelu) is not None)
+                or _pallas3_plan(u, k, fft_size, gelu) is not None):
             block = c
     if block >= c:
         return fftconv(u, k, D, gelu)

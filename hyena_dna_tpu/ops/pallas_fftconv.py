@@ -42,6 +42,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _compiler_params(n: int):
+    """Per-kernel VMEM validation cap. Mosaic checks the kernel's computed
+    stack usage against this limit (it does not change codegen): at
+    n=2^17 the spectrum-saving backward measures 64.73 MB, a hair over the
+    process-global 64 MB scoped budget (utils/tpu_flags.py). Raise the cap
+    only for n >= 2^17 so the tuned n=2^16 (32k-bench) kernels keep a
+    byte-identical compile."""
+    if n >= (1 << 17):
+        return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+    return None
+
+
 def _dft_consts(r: int, m: int, n: int):
     """All matrices the kernel needs, f32: forward half-DFT_r, DFT_m,
     twiddle, and their conjugated/normalized inverses."""
@@ -301,6 +313,7 @@ def fftconv_fused_fwd(u, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
         # k keeps its native dtype: the kernel's dots round to bf16 anyway
     )(u, k, jnp.tile(D.reshape(c, 1), (1, 128)), *vals)
@@ -416,6 +429,7 @@ def fftconv_fused_bwd(u, dy, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(u, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
@@ -535,6 +549,7 @@ def fftconv_fused_bwd_spec(ur, ui, dy, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(ur, ui, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
@@ -601,6 +616,7 @@ def fftconv_fused_dk_spec(u, dy, r: int, m: int, cb: int,
             jax.ShapeDtypeStruct((r, c, m), jnp.float32),
             jax.ShapeDtypeStruct((r, c, m), jnp.float32),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(u, dy, *vals)
 
@@ -716,6 +732,7 @@ def fftconv_fused_fwd_packed(u, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(u, k, jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)),
       *vals)
@@ -834,6 +851,7 @@ def fftconv_fused_bwd_packed(u, dy, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(u, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
@@ -954,14 +972,23 @@ def fftconv_fused_bwd_spec_packed(ur, ui, dy, k, D, r: int, m: int, cb: int,
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
             pltpu.VMEM((r, cb, m), _STORE_DTYPE),
         ],
+        compiler_params=_compiler_params(r * m),
         interpret=interpret,
     )(ur, ui, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
     return du, dk, dd[:, 0]
 
 
-# channel-block sizes keeping the per-program VMEM working set ~<= 8 MB
-_CB_BY_N = {1 << 16: 8, 1 << 17: 4, 1 << 18: 2}
+# Channel-block size by fft size. cb = 8 everywhere: the Pallas block rule
+# needs the second-to-last block dim divisible by 8, so the round-1 cb=4/2
+# fallbacks at 2^17/2^18 could never compile on hardware. Measured on v5e
+# (2026-08-18, B=2 C=256 value_and_grad): 2^17 at cb=8 needs a 96 MB
+# per-kernel VMEM cap (_compiler_params) and runs 11.75 ms vs 26.0 ms on
+# the XLA chain — a 2.2x conv win for 64k-context training. 2^18's
+# spectrum-saving backward needs 106.7 MB of scoped VMEM at cb=8 — beyond
+# what fits alongside block buffers in the 128 MB core — so 2^18 is not
+# offered and routes to the XLA chain-FFT path.
+_CB_BY_N = {1 << 16: 8, 1 << 17: 8}
 
 
 def plan(n: int, c: int, seqlen: int, chain):
@@ -974,8 +1001,8 @@ def plan(n: int, c: int, seqlen: int, chain):
     cb = _CB_BY_N.get(n)
     if cb is None:
         return None
-    while cb > 1 and c % cb:
-        cb //= 2
     if c % cb or seqlen > (r // 2) * m:
+        # cb < 8 violates the Pallas (8, 128) block rule on the (1, cb, Lp)
+        # input blocks; channel counts not divisible by 8 fall back
         return None
     return r, m, cb
