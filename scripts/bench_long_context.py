@@ -92,6 +92,11 @@ if __name__ == "__main__":
     if which == "450k":
         run(450048, False)
         run(450048, True)
+    elif which == "64k":
+        # fft size 2^17: the fused 2-pass Pallas conv engages here (cb=8 +
+        # 96 MB per-kernel VMEM cap; measured 2.2x over the XLA chain at
+        # the conv level)
+        run(65534, None, iters=8)
     elif which == "1m":
         # single-chip 1M training: residual-only remat cells grouped by 2 +
         # 64 MB conv chunk budget (the combination that fits 15.75 GB HBM)
