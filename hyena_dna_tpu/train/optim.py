@@ -27,7 +27,7 @@ reference's per-tensor `_optim` attributes.
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,62 @@ def _adamw(lr_schedule, weight_decay, betas, eps):
     )
 
 
+class _LambState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def lamb(learning_rate, b1: float = 0.9, b2: float = 0.999,
+         eps: float = 1e-6, weight_decay: float = 0.0,
+         adam: bool = False) -> optax.GradientTransformation:
+    """LAMB with the reference JITLamb's exact semantics
+    (`/root/reference/src/utils/optim/lamb.py:148-167,224-248`, registered
+    as optimizer `lamb` in `src/utils/registry.py:6`): NO bias correction
+    (paper v3), weight decay added to the normalized Adam step BEFORE the
+    trust ratio, weight norm clamped to [0, 10], trust ratio forced to 1
+    where either norm is zero. `adam=True` fixes trust_ratio=1 (the
+    reference's comparison mode). optax.lamb differs (bias correction +
+    unclamped norms), hence this explicit transform.
+    """
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p)
+        return _LambState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("lamb requires params")
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, updates)
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+
+        def delta(m, v, p):
+            f32 = jnp.float32
+            a = m.astype(f32) / (jnp.sqrt(v.astype(f32)) + eps)
+            a = a + weight_decay * p.astype(f32)
+            if adam:
+                trust = 1.0
+            else:
+                wn = jnp.clip(jnp.linalg.norm(p.astype(f32)), 0.0, 10.0)
+                an = jnp.linalg.norm(a)
+                trust = jnp.where((wn == 0.0) | (an == 0.0), 1.0,
+                                  wn / (an + eps))
+            return (-lr * trust * a).astype(p.dtype)
+
+        new_updates = jax.tree_util.tree_map(delta, mu, nu, params)
+        return new_updates, _LambState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     params,
     lr: float = 6e-4,
@@ -180,6 +236,7 @@ def build_optimizer(
     scheduler: Optional[dict] = None,
     gradient_clip_val: Optional[float] = 1.0,
     frozen: Optional[Dict[tuple, Any]] = None,
+    optimizer_name: str = "adamw",
 ) -> tuple[optax.GradientTransformation, Any]:
     """Returns (optimizer, label_tree).
 
@@ -195,9 +252,23 @@ def build_optimizer(
     sched_name = sched_cfg.pop("_name_", "constant")
     sched_fn = SCHEDULE_REGISTRY[sched_name]
 
+    if optimizer_name not in ("adamw", "adam", "lamb"):
+        raise ValueError(f"unknown optimizer {optimizer_name!r}")
+
     def make(base_lr, wd):
         if base_lr == 0.0:
             return optax.set_to_zero()  # frozen (reference requires_grad=False)
+        if optimizer_name == "lamb":
+            return lamb(sched_fn(base_lr, **sched_cfg), b1=betas[0],
+                        b2=betas[1], eps=eps, weight_decay=wd)
+        if optimizer_name == "adam":
+            # torch.optim.Adam semantics: COUPLED L2 (wd*param added to the
+            # gradient before the moment updates), unlike AdamW
+            return optax.chain(
+                optax.add_decayed_weights(wd) if wd else optax.identity(),
+                optax.adam(sched_fn(base_lr, **sched_cfg),
+                           b1=betas[0], b2=betas[1], eps=eps),
+            )
         return _adamw(sched_fn(base_lr, **sched_cfg), wd, betas, eps)
 
     transforms = {

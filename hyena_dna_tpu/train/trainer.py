@@ -141,7 +141,7 @@ class Trainer:
 
         # ---- optimizer --------------------------------------------------
         opt_cfg = dict(config.get("optimizer", {}))
-        opt_cfg.pop("_name_", None)
+        opt_name = opt_cfg.pop("_name_", "adamw")
         sched_cfg = dict(config.get("scheduler", {"_name_": "constant"}))
         layer_cfg = config["model"].get("layer", {}) or {}
         self.lr = float(opt_cfg.get("lr", 6e-4))
@@ -155,6 +155,7 @@ class Trainer:
             lr_pos_emb=float(layer_cfg.get("lr_pos_emb", 1e-5)),
             scheduler=sched_cfg,
             gradient_clip_val=self.trainer_cfg.get("gradient_clip_val", 1.0),
+            optimizer_name=opt_name,
         )
         s_cfg = dict(sched_cfg)
         s_name = s_cfg.pop("_name_", "constant")

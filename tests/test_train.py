@@ -287,3 +287,60 @@ def test_multistep_matches_sequential_steps():
     for path in flat_a:
         np.testing.assert_allclose(flat_a[path], flat_b[path], atol=3e-5,
                                    err_msg=str(path))
+
+
+def test_lamb_matches_reference_semantics():
+    """Our optax lamb vs a from-the-equations oracle of the reference's
+    JITLamb update (`src/utils/optim/lamb.py:148-167`): no bias correction,
+    wd added to the normalized step pre-trust-ratio, weight norm clamped to
+    [0, 10], trust ratio 1 where either norm vanishes."""
+    from hyena_dna_tpu.train.optim import lamb
+
+    rng = np.random.default_rng(0)
+    shapes = [(4, 3), (8,), (2, 2, 2)]
+    params = [rng.normal(size=s).astype(np.float32) for s in shapes]
+    params.append(np.zeros((3,), np.float32))  # zero weight norm edge case
+    lr, b1, b2, eps, wd = 0.02, 0.9, 0.999, 1e-6, 0.01
+
+    # oracle
+    ref = [p.copy() for p in params]
+    m = [np.zeros_like(p) for p in params]
+    v = [np.zeros_like(p) for p in params]
+    grads_per_step = [
+        [rng.normal(size=p.shape).astype(np.float32) for p in params]
+        for _ in range(5)
+    ]
+    for grads in grads_per_step:
+        for i, g in enumerate(grads):
+            m[i] = b1 * m[i] + (1 - b1) * g
+            v[i] = b2 * v[i] + (1 - b2) * g * g
+            a = m[i] / (np.sqrt(v[i]) + eps) + wd * ref[i]
+            wn = min(np.linalg.norm(ref[i]), 10.0)
+            an = np.linalg.norm(a)
+            tr = 1.0 if (wn == 0.0 or an == 0.0) else wn / (an + eps)
+            ref[i] = ref[i] - lr * tr * a
+
+    # ours
+    tx = lamb(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    ours = [jnp.asarray(p) for p in params]
+    state = tx.init(ours)
+    for grads in grads_per_step:
+        updates, state = tx.update([jnp.asarray(g) for g in grads], state, ours)
+        ours = jax.tree_util.tree_map(lambda p, u: p + u, ours, updates)
+
+    for a, b in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=2e-5, atol=2e-6)
+
+
+def test_build_optimizer_lamb_and_adam_names():
+    """optimizer._name_ plumbing: lamb/adam/adamw all build and step."""
+    from hyena_dna_tpu.train.optim import build_optimizer
+
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.1), params)
+    for name in ("lamb", "adam", "adamw"):
+        tx, _ = build_optimizer(params, lr=1e-3, optimizer_name=name)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        assert float(jnp.abs(new["dense"]["kernel"] - 1.0).max()) > 0
