@@ -141,3 +141,63 @@ if {"model_fwd", "model_train"} & set(want):
             return (state.apply_gradients(grads=grads),)
 
         timeit("model_train", step, state, self_carry=True)
+
+if "ce_train" in want:
+    # CE + logit grad at the padded-vocab shape (the lm_head/loss tail)
+    from hyena_dna_tpu.tasks import metrics as M
+
+    logits = jnp.asarray(rng.normal(size=(B, L, 16)).astype(np.float32),
+                         jnp.bfloat16)
+    y = jnp.tile(jnp.asarray((np.arange(L) % 4 + 7), jnp.int32), (B, 1))
+
+    def ce(lg):
+        return M.cross_entropy(lg, y)
+
+    g = jax.grad(lambda lg: ce(lg))
+    timeit("ce_train", lambda lg: (jnp.sum(g(lg).astype(jnp.float32))
+                                   * jnp.ones(1),), logits, self_carry=False)
+
+if "glue_train" in want:
+    # the per-block glue WITHOUT mixer/MLP: f32 residual adds + 2 LNs per
+    # layer x nl layers (attribution for the backward time outside the ops)
+    from hyena_dna_tpu.ops.layer_norm import LayerNormF32
+
+    ln = LayerNormF32(out_dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B, L, d)).astype(np.float32), jnp.bfloat16)
+    p = jax.jit(ln.init)(jax.random.PRNGKey(0), x)["params"]
+
+    def glue(p, x):
+        res = x.astype(jnp.float32)
+        h = x
+        for _ in range(nl):
+            h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
+            res = res + h.astype(jnp.float32)
+            h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
+            res = res + h.astype(jnp.float32)
+        return jnp.sum(res[..., :1] ** 2)
+
+    g = jax.grad(glue, argnums=(0, 1))
+    timeit("glue_train", lambda p, x: (sum(
+        jnp.sum(jnp.ravel(l)[:1].astype(jnp.float32))
+        for gi in g(p, x) for l in jax.tree_util.tree_leaves(gi)) * jnp.ones(1),),
+        p, x, self_carry=False)
+
+if "opt_update" in want:
+    from flax.training.train_state import TrainState
+
+    from hyena_dna_tpu.models import ConvLMHeadModel
+    from hyena_dna_tpu.train import build_optimizer
+
+    layer = dict(_name_="hyena", emb_dim=5, filter_order=64,
+                 short_filter_order=3, l_max=L, modulate=True, w=10)
+    model2 = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d,
+                             vocab_size=12, pad_vocab_size_multiple=8,
+                             residual_in_fp32=True, layer=layer,
+                             dtype=jnp.bfloat16)
+    params2 = jax.jit(model2.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, L), jnp.int32))["params"]
+    tx2, _ = build_optimizer(params2, lr=6e-4)
+    st = TrainState.create(apply_fn=model2.apply, params=params2, tx=tx2)
+    grads2 = jax.tree_util.tree_map(lambda a: jnp.full_like(a, 1e-6), params2)
+    timeit("opt_update", lambda s: (s.apply_gradients(grads=grads2),), st,
+           self_carry=True)
