@@ -171,3 +171,27 @@ def test_lm_loss_decreases():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_lm_simple_registry_alias():
+    """`lm_simple` (reference SimpleLMHeadModel, the dependency-free LM clone
+    `simple_lm.py:433-469`) builds through the registry and matches `lm` —
+    the JAX modules have no flash-attn split, so one class serves both."""
+    from hyena_dna_tpu.utils.config import instantiate
+    from hyena_dna_tpu.utils.registry import MODEL_REGISTRY as model_registry
+
+    cfg = dict(
+        _name_="lm_simple", d_model=32, n_layer=2, d_inner=128, vocab_size=12,
+        pad_vocab_size_multiple=8,
+        layer=dict(_name_="hyena", emb_dim=5, filter_order=16, l_max=66, w=10),
+    )
+    m = instantiate(model_registry, dict(cfg))
+    x = jnp.zeros((2, 64), jnp.int32)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)["params"]
+    logits, _ = m.apply({"params": params}, x, deterministic=True)
+    assert logits.shape == (2, 64, 16)
+
+    cfg_lm = dict(cfg, _name_="lm")
+    m2 = instantiate(model_registry, cfg_lm)
+    logits2, _ = m2.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2))
