@@ -324,8 +324,10 @@ def _pallas3_apply(u, k, D, fft_size, plan):
 
 
 def _fftconv_bwd_pallas3(res, dy, fft_size, plan):
-    """Backward through the fused 3-pass kernel: du, dk (inverse included)
-    and dD (Parseval) all come straight out of one kernel."""
+    """Backward through the fused 3-pass kernel: du and dk (inverse
+    included) come out of the kernel; dD is a caller-side XLA einsum
+    (see `pallas_fftconv3.fftconv3_bwd`). Requires D (models always pass
+    one; the fused path is never planned for D=None)."""
     from hyena_dna_tpu.ops import pallas_fftconv3 as _pf3
 
     u, k, D, _, _ = res
@@ -337,9 +339,9 @@ def _fftconv_bwd_pallas3(res, dy, fft_size, plan):
     dy_in = jnp.pad(dy, pad) if pad else dy
     k_in = (jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
             if k.shape[-1] < lp else k)
-    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
-             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
-                                   (u.shape[1],)))
+    assert D is not None, "pallas3 backward needs D (models always pass one)"
+    d_arr = jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                             (u.shape[1],))
     du, dk_t, dD_c = _pf3.fftconv3_bwd(
         u_in, dy_in, k_in, d_arr, f1, f2, f3, cb,
         interpret=PALLAS_FFTCONV_INTERPRET)

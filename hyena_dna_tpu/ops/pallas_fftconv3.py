@@ -42,8 +42,8 @@ zero):
 
 Backward (one kernel): du = inv(dy_f * conj(k_f)) + dy*D per batch
 program; P = sum_b dy_f * conj(u_f) accumulates in f32 VMEM scratch; the
-last batch program computes dk = inv_real(P) and dD = Re(sum P)/n
-(Parseval) in-kernel.
+last batch program computes dk = inv_real(P) in-kernel. dD is a cheap
+XLA einsum over u*dy done by the caller (`fftconv3_bwd`).
 
 Replaces the reference's long-context path, which has NO fused kernel at
 these sizes (its CUDA fftconv caps at fft_size 16384,

@@ -201,8 +201,12 @@ def lamb(learning_rate, b1: float = 0.9, b2: float = 0.999,
             lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
         nu = jax.tree_util.tree_map(
             lambda v, g: b2 * v + (1.0 - b2) * (g * g), state.nu, updates)
+        # Evaluate the schedule at the PRE-increment count (first step uses
+        # schedule(0)) to match the optax convention used by the adamw/adam
+        # branches — switching optimizer._name_ must not shift warmup by one.
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
         count = state.count + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
 
         def delta(m, v, p):
             f32 = jnp.float32
