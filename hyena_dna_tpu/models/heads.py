@@ -190,6 +190,16 @@ class RetrievalDecoder(fnn.Module):
         )(feat)
 
 
+class PackedDecoder(fnn.Module):
+    """Inverse of the `pack` encoder (`decoders.py:270-273`). The torch
+    version re-pads a PackedSequence; under XLA the batch never left its
+    dense (B, L, d) layout (see `tasks.encoders.PackedEncoder`), so this is
+    the identity — kept so configs pairing pack encoder/decoder port 1:1."""
+
+    def __call__(self, x, state=None, **kwargs):
+        return x
+
+
 class StateDecoder(fnn.Module):
     """Decode from the model's final state (`decoders.py:188-198`)."""
 

@@ -36,7 +36,9 @@ from flax import linen as fnn
 from hyena_dna_tpu.data.datamodules import DATASET_REGISTRY
 from hyena_dna_tpu.data.loader import shard_batch
 from hyena_dna_tpu.parallel.sharding import NamedSharding, P
-from hyena_dna_tpu.models.heads import NDDecoder, SequenceDecoder, TokenDecoder
+from hyena_dna_tpu.models.heads import (NDDecoder, PackedDecoder,
+                                        RetrievalDecoder, SequenceDecoder,
+                                        StateDecoder, TokenDecoder)
 from hyena_dna_tpu.parallel import commit_state_to_mesh, make_mesh, shard_params
 from hyena_dna_tpu.tasks import TASK_REGISTRY
 from hyena_dna_tpu.tasks import metrics as M
@@ -70,6 +72,9 @@ DECODER_REGISTRY = {
     "sequence": SequenceDecoder,
     "token": TokenDecoder,
     "nd": NDDecoder,
+    "retrieval": RetrievalDecoder,
+    "state": StateDecoder,
+    "pack": PackedDecoder,
     "id": None,
 }
 
@@ -232,8 +237,14 @@ class Trainer:
         dec_cls = DECODER_REGISTRY[dec_name]
         if dec_cls is None:
             return backbone
-        dec_cfg.setdefault("d_model", model_cfg["d_model"])
-        dec_cfg.setdefault("d_output", getattr(dm, "d_output", None))
+        # auto-wire ctor args from model/dataset attributes per decoder, the
+        # reference's decoders.py:293-311 model_attrs/dataset_attrs tables
+        if dec_name == "retrieval":
+            dec_cfg.setdefault("d_input", model_cfg["d_model"])
+            dec_cfg.setdefault("n_classes", getattr(dm, "d_output", None))
+        elif dec_name != "pack":
+            dec_cfg.setdefault("d_model", model_cfg["d_model"])
+            dec_cfg.setdefault("d_output", getattr(dm, "d_output", None))
         if dec_name == "sequence":
             dec_cfg.setdefault("l_output", getattr(dm, "l_output", None))
         decoder = dec_cls(**dec_cfg)

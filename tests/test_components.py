@@ -80,7 +80,93 @@ def test_registry_names():
     assert set(ENCODER_REGISTRY) >= {
         "embedding", "linear", "position", "position_id", "class",
         "onehot", "conv1d", "layer", "id",
+        "time", "pack", "patch2d", "timestamp_embedding",
     }
+
+
+def test_time_encoder_embeds_marks_and_mask():
+    """TimeEncoder (reference encoders.py:206-230): timeenc=0 sums one
+    embedding per integer time feature plus a 2-way mask embedding."""
+    from hyena_dna_tpu.tasks.encoders import TimeEncoder
+
+    enc = TimeEncoder(n_tokens_time=(13, 32, 7, 24), d_model=16)
+    x = jnp.zeros((2, 8, 16))
+    mark = jnp.zeros((2, 8, 4), jnp.int32)
+    mask = jnp.asarray(np.r_[np.zeros(4), np.ones(4)], jnp.int32)
+    mask = jnp.broadcast_to(mask, (2, 8))
+    params = enc.init(RNG, x, mark=mark, mask=mask)["params"]
+    y = enc.apply({"params": params}, x, mark=mark, mask=mask)
+    assert y.shape == x.shape
+    # mask flips between position 3 and 4 -> outputs must differ there
+    assert float(jnp.abs(y[0, 3] - y[0, 4]).max()) > 0
+
+    # timeenc=1: single Linear over the stacked marks
+    enc1 = TimeEncoder(n_tokens_time=(13, 32, 7, 24), d_model=16, timeenc=1)
+    params = enc1.init(RNG, x, mark=mark, mask=mask)["params"]
+    assert enc1.apply({"params": params}, x, mark=mark,
+                      mask=mask).shape == x.shape
+
+
+def test_packed_encoder_masks_beyond_length():
+    """PackedEncoder: dense-mask equivalent of pack_padded_sequence —
+    positions >= row length become exact zeros."""
+    from hyena_dna_tpu.tasks.encoders import PackedEncoder
+
+    x = jnp.ones((2, 6, 4))
+    y = PackedEncoder().apply({}, x, lengths=jnp.asarray([3, 6]))
+    assert float(jnp.abs(y[0, :3]).min()) == 1.0
+    assert float(jnp.abs(y[0, 3:]).max()) == 0.0
+    assert float(jnp.abs(y[1]).min()) == 1.0
+
+
+def test_conv2d_patch_encoder_shapes():
+    """Conv2DPatchEncoder: (B, H, W, C) -> (B, (H/fh)*(W/fw), d_model);
+    flat mode reshapes flattened rows back to 2D first."""
+    from hyena_dna_tpu.tasks.encoders import Conv2DPatchEncoder
+
+    enc = Conv2DPatchEncoder(d_input=3, d_model=16, filter_sizes=(4, 4))
+    x = jax.random.normal(RNG, (2, 8, 8, 3))
+    params = enc.init(RNG, x)["params"]
+    assert enc.apply({"params": params}, x).shape == (2, 4, 16)
+
+    flat = Conv2DPatchEncoder(d_input=3, d_model=16, filter_sizes=(4, 4),
+                              flat=True)
+    xf = x.reshape(2, 64, 3)
+    params = flat.init(RNG, xf)["params"]
+    assert flat.apply({"params": params}, xf).shape == (2, 4, 16)
+
+
+def test_timestamp_embedding_encoder_table_and_linear():
+    """TimestampEmbeddingEncoder: per-attribute add; -1 (null) timestamps
+    contribute nothing in table mode (padding row)."""
+    from hyena_dna_tpu.tasks.encoders import TimestampEmbeddingEncoder
+
+    x = jnp.zeros((2, 4, 8))
+    ts = {"month": jnp.asarray([[1, 12, -1, 6]] * 2),
+          "hour": jnp.asarray([[0, 23, 5, -1]] * 2)}
+    enc = TimestampEmbeddingEncoder(d_model=8, table=True)
+    params = enc.init(RNG, x, timestamps=ts)["params"]
+    y = enc.apply({"params": params}, x, timestamps=ts)
+    assert y.shape == x.shape
+    # both attrs null at no position here except month@2 and hour@3 —
+    # a position with a null attr gets zero contribution from that attr
+    ts0 = {"month": jnp.full((2, 4), -1), "hour": jnp.full((2, 4), -1)}
+    y0 = enc.apply({"params": params}, x, timestamps=ts0)
+    np.testing.assert_allclose(np.asarray(y0), 0.0, atol=1e-6)
+
+    lin = TimestampEmbeddingEncoder(d_model=8, table=False)
+    params = lin.init(RNG, x, timestamps=ts)["params"]
+    assert lin.apply({"params": params}, x, timestamps=ts).shape == x.shape
+
+
+def test_packed_decoder_identity_and_trainer_registry():
+    from hyena_dna_tpu.models.heads import PackedDecoder
+    from hyena_dna_tpu.train.trainer import DECODER_REGISTRY
+
+    x = jnp.ones((2, 6, 4))
+    np.testing.assert_allclose(np.asarray(PackedDecoder().apply({}, x)),
+                               np.asarray(x))
+    assert {"retrieval", "state", "pack"} <= set(DECODER_REGISTRY)
 
 
 # --------------------------------------------------------------------------
