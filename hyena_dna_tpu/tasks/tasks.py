@@ -66,7 +66,7 @@ class BaseTask:
         self.host_metric_names = list(host_metrics or [])
         for m in metrics or []:
             name = m if isinstance(m, str) else m.get("_name_")
-            if name in M.HOST_METRIC_FNS:
+            if name in M.STREAMING_HOST_METRICS:
                 self.host_metric_names.append(name)
                 continue
             if name in M.LOSS_METRIC_FNS:

@@ -445,9 +445,13 @@ class Trainer:
         weights: Dict[str, float] = {}
         nll_sum = 0.0
         token_count = 0.0
-        all_logits, all_targets = [], []
         n_batches = 0
-        want_host = bool(self.task.host_metric_names)
+        # Host metrics stream through per-batch sufficient statistics
+        # (confusion counts + score histograms, O(C² + bins·C) memory) —
+        # gathering every logit to host would be gigabytes at chromatin-
+        # profile scale (919 labels × ~450k DeepSEA eval windows).
+        streamer = (M.StreamingHostMetrics(self.task.host_metric_names)
+                    if self.task.host_metric_names else None)
         for batch in loader:
             bsz = len(batch[0])
             batch = self._shard(batch)
@@ -466,9 +470,9 @@ class Trainer:
             if "nll_sum" in metrics:
                 nll_sum += float(metrics["nll_sum"])
                 token_count += float(metrics["token_count"])
-            if want_host and logits is not None:
-                all_logits.append(np.asarray(jax.device_get(logits), np.float32))
-                all_targets.append(np.asarray(jax.device_get(batch[1])))
+            if streamer is not None and logits is not None:
+                streamer.update(np.asarray(jax.device_get(logits), np.float32),
+                                np.asarray(jax.device_get(batch[1])))
             n_batches += 1
         result = {}
         for k in sums:
@@ -480,17 +484,12 @@ class Trainer:
                 result[f"{split}/{k}"] = float(v)
         if token_count:
             result[f"{split}/ppl"] = math.exp(nll_sum / token_count)
-        if want_host and all_logits:
-            logits = np.concatenate(all_logits)
-            targets = np.concatenate(all_targets)
-            for name in self.task.host_metric_names:
-                result[f"{split}/{name}"] = float(M.HOST_METRIC_FNS[name](logits, targets))
+        if streamer is not None and n_batches:
+            for name, v in streamer.compute().items():
+                result[f"{split}/{name}"] = v
             # confusion matrix for small-cardinality classification (the
             # reference logs it to wandb, callbacks/wandb.py:35-277)
-            n_cls = logits.shape[-1]
-            if logits.ndim == 2 and n_cls <= 32:
-                preds = logits.argmax(-1)
-                cm = np.zeros((n_cls, n_cls), dtype=int)
-                np.add.at(cm, (targets.reshape(-1), preds), 1)
+            cm = streamer.confusion_matrix
+            if cm is not None and cm.shape[0] <= 32:
                 result[f"{split}/confusion_matrix"] = cm.tolist()
         return result

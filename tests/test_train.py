@@ -84,6 +84,68 @@ def test_host_metrics_match_sklearn():
     assert 0 <= M.roc_auc_macro(logits, y) <= 1
 
 
+def test_streaming_host_metrics_match_sklearn_multiclass():
+    """StreamingHostMetrics (sufficient statistics) vs sklearn on the full
+    gathered arrays: mcc/f1 exact (confusion-based), AUC within the binning
+    tolerance (8192 bins)."""
+    from sklearn.metrics import f1_score, matthews_corrcoef, roc_auc_score
+
+    rng = np.random.default_rng(7)
+    names = ["mcc", "f1_binary", "f1_macro", "f1_micro", "roc_auc_macro"]
+    s = M.StreamingHostMetrics(names)
+    all_logits, all_y = [], []
+    for _ in range(5):  # batches stream in
+        logits = rng.normal(size=(64, 2))
+        y = rng.integers(0, 2, size=64)
+        s.update(logits, y)
+        all_logits.append(logits)
+        all_y.append(y)
+    logits = np.concatenate(all_logits)
+    y = np.concatenate(all_y)
+    out = s.compute()
+    pred = logits.argmax(-1)
+    assert out["mcc"] == pytest.approx(matthews_corrcoef(y, pred), abs=1e-12)
+    assert out["f1_binary"] == pytest.approx(
+        f1_score(y, pred, average="binary"), abs=1e-12)
+    assert out["f1_macro"] == pytest.approx(
+        f1_score(y, pred, average="macro"), abs=1e-12)
+    assert out["f1_micro"] == pytest.approx(
+        f1_score(y, pred, average="micro"), abs=1e-12)
+    probs = M._softmax_np(logits)[:, 1]
+    assert out["roc_auc_macro"] == pytest.approx(
+        roc_auc_score(y, probs), abs=1e-3)
+    cm = s.confusion_matrix
+    assert cm is not None and cm.sum() == len(y)
+
+
+def test_streaming_host_metrics_multilabel_auroc():
+    """Multilabel layout (chromatin-profile shape): per-class AUROC macro +
+    median vs sklearn per-class scores; f1_macro at threshold 0.5."""
+    from sklearn.metrics import f1_score, roc_auc_score
+
+    rng = np.random.default_rng(11)
+    C = 7
+    s = M.StreamingHostMetrics(["auroc_macro", "auroc_median", "f1_macro"])
+    all_logits, all_y = [], []
+    for _ in range(4):
+        y = rng.integers(0, 2, size=(50, C))
+        logits = rng.normal(size=(50, C)) + 1.5 * y  # informative scores
+        s.update(logits, y)
+        all_logits.append(logits)
+        all_y.append(y)
+    logits = np.concatenate(all_logits)
+    y = np.concatenate(all_y)
+    out = s.compute()
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    per_class = np.array([roc_auc_score(y[:, c], probs[:, c])
+                          for c in range(C)])
+    assert out["auroc_macro"] == pytest.approx(per_class.mean(), abs=1e-3)
+    assert out["auroc_median"] == pytest.approx(np.median(per_class), abs=2e-3)
+    ref_f1 = f1_score(y, probs > 0.5, average="macro", zero_division=0)
+    assert out["f1_macro"] == pytest.approx(ref_f1, abs=1e-12)
+    assert s.confusion_matrix is None  # no C×C matrix in multilabel mode
+
+
 def test_last_k_ppl_and_per_token():
     rng = np.random.default_rng(3)
     logits = jnp.asarray(rng.normal(size=(2, 8, 12)).astype(np.float32))

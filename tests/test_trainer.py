@@ -418,3 +418,58 @@ def test_load_backbone_from_torch_checkpoint(tmp_path, tiny_benchmark):
     flat_d = traverse_util.flatten_dict(jax.tree_util.tree_map(np.array, donor_params))
     key = ("backbone", "embeddings", "word_embeddings", "embedding")
     np.testing.assert_array_equal(flat_t[("backbone",) + key], flat_d[key])
+
+
+# --------------------------------------------------------------------------
+# chromatin profile: end-to-end multilabel fine-tune with streaming AUROC
+# --------------------------------------------------------------------------
+
+
+def test_chromatin_profile_multilabel_e2e(tmp_path):
+    """Drive the chromatin_profile experiment preset through the Trainer on
+    synthetic coords: BCE loss descends and the epoch metrics include the
+    streamed multilabel AUROC (macro + median over tasks) without any
+    gather-all-logits pass."""
+    rng = np.random.default_rng(0)
+    genome = {"chr1": "".join(rng.choice(list("ACGT"), size=6000)),
+              "chr2": "".join(rng.choice(list("ACGT"), size=6000))}
+    fa = tmp_path / "genome.fa"
+    with open(fa, "w") as f:
+        for name, seq in genome.items():
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), 60):
+                f.write(seq[i:i + 60] + "\n")
+    # label 0 = GC-content > .5 over the window (learnable), labels 1-2 noise
+    for split, n in (("train", 48), ("val", 16), ("test", 16)):
+        with open(tmp_path / f"{split}_hg38_coords_targets.csv", "w") as f:
+            f.write("Chr_No,Start,End,y_0,y_1,y_2\n")
+            for i in range(n):
+                chr_no = i % 2
+                start = int(rng.integers(300, 4500))
+                seq = genome[f"chr{chr_no+1}"][start:start + 1000]
+                gc = int((seq.count("G") + seq.count("C")) / len(seq) > 0.5)
+                f.write(f"{chr_no},{start},{start+1000},{gc},"
+                        f"{int(rng.integers(0, 2))},{int(rng.integers(0, 2))}\n")
+
+    cfg = build_config([
+        "experiment=hg38/chromatin_profile",
+        f"dataset.ref_genome_path={fa}",
+        f"dataset.data_path={tmp_path}",
+        "dataset.d_output=3", "dataset.max_length=128",
+        "dataset.batch_size=8", "dataset.num_workers=0",
+        "model.d_model=32", "model.d_inner=128", "model.layer.l_max=130",
+        "model.layer.filter_order=16",
+        "trainer.max_epochs=2", "trainer.precision=32",
+        f"train.run_dir={tmp_path / 'run'}",
+    ])
+    cfg["mesh"] = {"data": 2}
+    t = Trainer(cfg)
+    final = t.fit()
+    metrics = json.loads(
+        (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()[-2])
+    # the val epoch logs streamed multilabel metrics
+    run_log = (tmp_path / "run" / "metrics.jsonl").read_text()
+    assert '"val/auroc_macro"' in run_log and '"val/auroc_median"' in run_log
+    assert "test/auroc_macro" in final
+    assert 0.0 <= final["test/auroc_macro"] <= 1.0
+    assert np.isfinite(final["test/loss"])
