@@ -101,9 +101,17 @@ def run_bench(seq_len, d_model, n_layer, batch):
         _name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
         l_max=seq_len + 2, modulate=True, w=10, lr=6e-4, wd=0.0, lr_pos_emb=0.0,
     )
+    # Residual-stream dtype: the f32 residual+LN glue is ~20.7 ms of the
+    # 120 ms step at 32k (scripts/decompose_32k.py) and runs at ~85% of its
+    # traffic floor — the lever is halving the stream itself. bf16 residuals
+    # (f32 master weights stay in the optimizer) showed no measurable
+    # loss-curve drift at the reference hg38 recipe (scripts/resid_drift.py,
+    # results in STATUS.md), so the bench defaults to bf16; set
+    # BENCH_RESIDUAL_F32=1 for the reference-parity f32 stream.
+    resid_f32 = os.environ.get("BENCH_RESIDUAL_F32", "0") == "1"
     model = ConvLMHeadModel(
         d_model=d_model, n_layer=n_layer, d_inner=4 * d_model, vocab_size=12,
-        pad_vocab_size_multiple=8, residual_in_fp32=True, layer=layer,
+        pad_vocab_size_multiple=8, residual_in_fp32=resid_f32, layer=layer,
         dtype=jnp.bfloat16,
     )
     rng = jax.random.PRNGKey(0)

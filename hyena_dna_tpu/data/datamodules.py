@@ -182,6 +182,59 @@ class HG38DataModule(SequenceDataModule):
         self.dataset_test = make("test", self.max_length_test)
 
 
+class HG38FixedDataModule(SequenceDataModule):
+    """Fixed-length NON-overlapping hg38 windows for a stable test
+    perplexity (`genomics.py:660-700`, registered `hg38_fixed`). Test-only:
+    pair with `train.test: true` (reference
+    `configs/experiment/hg38/hg38_fixed_test.yaml`). Default chr_ranges are
+    the Enformer chr14/chrX spans the reference hardcodes."""
+
+    _name_ = "hg38_fixed"
+
+    def __init__(
+        self,
+        fasta_file: Optional[str] = None,
+        chr_ranges: Optional[Dict[str, Any]] = None,
+        max_length: int = 1024,
+        pad_max_length: Optional[int] = None,
+        add_eos: bool = True,
+        batch_size: int = 32,
+        batch_size_eval: Optional[int] = None,
+        num_workers: int = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        **kwargs: Any,
+    ):
+        self.fasta_file = fasta_file or str(default_data_path / "hg38" / "hg38.ml.fa")
+        self.chr_ranges = chr_ranges or {
+            "chr14": (19726402, 106677047),
+            "chrX": (2825622, 144342320),
+        }
+        self.max_length = max_length
+        self.pad_max_length = pad_max_length
+        self.add_eos = add_eos
+        self.batch_size = batch_size
+        self.batch_size_eval = batch_size_eval
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def setup(self):
+        self.tokenizer = CharacterTokenizer(model_max_length=self.max_length + 2)
+        self.vocab_size = self.tokenizer.vocab_size
+        ds = HG38FixedDataset(
+            fasta_file=self.fasta_file,
+            chr_ranges={k: tuple(v) for k, v in self.chr_ranges.items()},
+            max_length=self.max_length,
+            pad_max_length=self.pad_max_length,
+            tokenizer=self.tokenizer,
+            add_eos=self.add_eos,
+        )
+        self.dataset_train = None
+        self.dataset_val = ds
+        self.dataset_test = ds
+
+
 class GenomicBenchmarkDataModule(SequenceDataModule):
     """GenomicBenchmarks fine-tuning (`genomics.py:218-298`); val == test."""
 

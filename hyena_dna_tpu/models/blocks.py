@@ -186,10 +186,23 @@ class Block(fnn.Module):
     resid_dropout1: float = 0.0
     resid_dropout2: float = 0.0
     residual_in_fp32: bool = False
+    # Explicit residual-stream storage dtype; overrides residual_in_fp32.
+    # The f32 stream is ~17% of the 32k train step's HBM traffic
+    # (scripts/decompose_32k.py); float16 halves it with 10 mantissa bits
+    # (vs bfloat16's 7 — measured loss-curve drift at the hg38 recipe:
+    # scripts/resid_drift results in STATUS.md). Adds always compute in f32
+    # and round once on store.
+    residual_dtype: Any = None
     layer_norm_epsilon: float = 1e-5
     n_layer: int = 1
     dtype: Any = jnp.float32
     mesh: Any = None
+
+    @property
+    def _resid_dt(self):
+        if self.residual_dtype is not None:
+            return jnp.dtype(self.residual_dtype)
+        return jnp.float32 if self.residual_in_fp32 else None
 
     def setup(self):
         # LN: f32 params + stats, but emit the block dtype directly and keep
@@ -229,17 +242,18 @@ class Block(fnn.Module):
         """dropout -> add -> norm1 -> mixer -> dropout -> add: from the block
         boundary to the post-mixer residual (requires an MLP block)."""
         assert not self.identity_mlp
+        dt = self._resid_dt
         dropped = self.dropout1(hidden_states, deterministic=deterministic)
         residual = (dropped + residual) if residual is not None else dropped
+        if dt is not None:
+            residual = residual.astype(dt)
         hidden_states = self.norm1(residual)
-        if self.residual_in_fp32:
-            residual = residual.astype(jnp.float32)
         out = self.mixer(hidden_states, deterministic)
         hidden_states = out[0] if isinstance(out, tuple) else out
         dropped = self.dropout2(hidden_states, deterministic=deterministic)
         residual = dropped + residual
-        if self.residual_in_fp32:
-            residual = residual.astype(jnp.float32)
+        if dt is not None:
+            residual = residual.astype(dt)
         return residual
 
     def post(self, residual: jax.Array) -> jax.Array:
@@ -256,11 +270,12 @@ class Block(fnn.Module):
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         if self.identity_mlp:
+            dt = self._resid_dt
             dropped = self.dropout1(hidden_states, deterministic=deterministic)
             residual = (dropped + residual) if residual is not None else dropped
+            if dt is not None:
+                residual = residual.astype(dt)
             hidden_states = self.norm1(residual)
-            if self.residual_in_fp32:
-                residual = residual.astype(jnp.float32)
             out = self.mixer(hidden_states, deterministic)
             hidden_states = out[0] if isinstance(out, tuple) else out
             return hidden_states, residual

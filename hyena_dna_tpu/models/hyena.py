@@ -162,7 +162,6 @@ class HyenaOperator(fnn.Module):
             and self.inner_factor == 1
             and not self.outer_mixing
             and not self.post_order_ffn
-            and l == l_filter
         )
 
         if not seq_parallel:
@@ -171,7 +170,7 @@ class HyenaOperator(fnn.Module):
                 return fused
 
         if plain_3d and not seq_parallel and self.inner_remat and not self.is_initializing():
-            uc = self._front_3d(u)[..., :l_filter]
+            uc = self._front_3d(u)
             return self._tail_3d(uc, l_filter, deterministic, distributed=False)
 
         u = self.in_proj(u)  # (B, L, (o+1)d)
@@ -195,15 +194,19 @@ class HyenaOperator(fnn.Module):
             self.short_filter_weight.astype(u.dtype),
             self.short_filter_bias.astype(u.dtype),
         )
-        uc = uc[..., :l_filter]
+        # When l > l_max only the FILTER is truncated (to l_filter); the
+        # sequence keeps full length — a causal conv with a shorter kernel
+        # is exact for the first l_filter taps. The reference instead crops
+        # the sequence itself (`hyena.py:394` uc[..., :l_filter]), which
+        # shrinks the layer output and crashes its own residual add — so
+        # ICL-style prompts longer than l_max (hg38_hyena_icl) only run here.
 
         if plain_3d:
             # the DNA configs: stay in (B, C, L) — no head/block reshapes,
             # chunked convs bound the FFT workspace at long L
             return self._tail_3d(uc, l_filter, deterministic, distributed=False)
 
-        # generic path: multi-head / multi-block / outer_mixing /
-        # post_order_ffn / l > l_max
+        # generic path: multi-head / multi-block / outer_mixing / post_order_ffn
         return self._tail_generic(uc, l_filter, deterministic)
 
     def _front_3d(self, u: jax.Array) -> jax.Array:
@@ -250,13 +253,15 @@ class HyenaOperator(fnn.Module):
                 "inner_factor > 1 is inconsistent in the reference "
                 "(in_proj/short_filter width mismatch) and unsupported here"
             )
-        # (B, heads, head_dim*(o+1), blocks, L/blocks)
+        # (B, heads, head_dim*(o+1), blocks, L/blocks); the sequence keeps
+        # its full length l_seq — only the filter is capped at l_filter
         b = uc.shape[0]
+        l_seq = uc.shape[-1]
         z = self.num_blocks
         ho = self.num_heads
         hd = self.head_dim
         o = self.order
-        uc = uc.reshape(b, ho, hd * (o + 1), z, l_filter // z)
+        uc = uc.reshape(b, ho, hd * (o + 1), z, l_seq // z)
 
         # split channel groups: x[0], x[1], ..., x[o-1], v
         splits = jnp.split(uc, o + 1, axis=2)
@@ -280,7 +285,7 @@ class HyenaOperator(fnn.Module):
             else:
                 v = self.drop(v * x_i, deterministic=deterministic)
             # bias broadcast: (1, hd, 1) against v (B, ho, hd, z, L) without L
-            v = self.filter_fn(v, l_filter // z, k=k[i], bias=bias[i, None, :, None])
+            v = self.filter_fn(v, l_seq // z, k=k[i], bias=bias[i, None, :, None])
 
             if self.post_order_ffn:
                 # reference mul_sum sums over the FIRST head index of
@@ -290,7 +295,7 @@ class HyenaOperator(fnn.Module):
 
         y = v * x[0]  # final gate
         # (B, h, v, z, l) -> (B, z*l, h*v)
-        y = jnp.transpose(y, (0, 3, 4, 1, 2)).reshape(b, z * (l_filter // z), ho * hd)
+        y = jnp.transpose(y, (0, 3, 4, 1, 2)).reshape(b, z * (l_seq // z), ho * hd)
         y = self.act(y)
         y = self.out_proj(y)
 

@@ -54,6 +54,7 @@ class LMBackbone(fnn.Module):
     layer_norm_epsilon: float = 1e-5
     identity_mlp: bool = False
     residual_in_fp32: bool = False
+    residual_dtype: Any = None  # overrides residual_in_fp32 (see Block)
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
@@ -92,6 +93,7 @@ class LMBackbone(fnn.Module):
                 resid_dropout1=self.embed_dropout if i == 0 else self.resid_dropout,
                 resid_dropout2=self.resid_dropout,
                 residual_in_fp32=self.residual_in_fp32,
+                residual_dtype=self.residual_dtype,
                 layer_norm_epsilon=self.layer_norm_epsilon,
                 n_layer=self.n_layer,
                 dtype=self.dtype,
@@ -208,6 +210,7 @@ class ConvLMHeadModel(fnn.Module):
     pad_vocab_size_multiple: int = 1
     identity_mlp: bool = False
     residual_in_fp32: bool = False
+    residual_dtype: Any = None  # overrides residual_in_fp32 (see Block)
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
@@ -231,6 +234,7 @@ class ConvLMHeadModel(fnn.Module):
             layer_norm_epsilon=self.layer_norm_epsilon,
             identity_mlp=self.identity_mlp,
             residual_in_fp32=self.residual_in_fp32,
+            residual_dtype=self.residual_dtype,
             checkpoint_mixer=self.checkpoint_mixer,
             checkpoint_mlp=self.checkpoint_mlp,
             remat_residual_only=self.remat_residual_only,
@@ -280,6 +284,7 @@ class DNAEmbeddingModel(fnn.Module):
     pad_vocab_size_multiple: int = 1
     identity_mlp: bool = False
     residual_in_fp32: bool = False
+    residual_dtype: Any = None  # overrides residual_in_fp32 (see Block)
     checkpoint_mixer: bool = False
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
@@ -304,6 +309,7 @@ class DNAEmbeddingModel(fnn.Module):
             layer_norm_epsilon=self.layer_norm_epsilon,
             identity_mlp=self.identity_mlp,
             residual_in_fp32=self.residual_in_fp32,
+            residual_dtype=self.residual_dtype,
             checkpoint_mixer=self.checkpoint_mixer,
             checkpoint_mlp=self.checkpoint_mlp,
             remat_residual_only=self.remat_residual_only,

@@ -346,7 +346,7 @@ def _fftconv_bwd_pallas3(res, dy, fft_size, plan):
         u_in, dy_in, k_in, d_arr, f1, f2, f3, cb,
         interpret=PALLAS_FFTCONV_INTERPRET)
     du = du[..., :seqlen]
-    dk = dk_t[..., :seqlen].reshape(k.shape)
+    dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
     c = k.shape[0]
     D_arr = jnp.asarray(D)
     dD = _reduce_to_shape(dD_c.reshape(1, c, 1),
@@ -489,7 +489,7 @@ def _fftconv_bwd(gelu, save_spectra, res, dy):
     k_b_shape = _expand_k(k, u.ndim).shape
     spec_shape = k_b_shape[:-1] + (fft_size // 2 + 1,)
     prod = _reduce_to_shape(dy_f * u_f.conj(), spec_shape)
-    dk = _irfft(prod, n=fft_size)[..., :seqlen].reshape(k.shape)
+    dk = _irfft(prod, n=fft_size)[..., :k.shape[-1]].reshape(k.shape)
 
     # dL/dD: dy * u reduced over dims broadcast against D (plus the L axis).
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
@@ -750,7 +750,7 @@ def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
     spec_shape = k_b_shape[:-1] + (fft_size,)
     pr = _reduce_to_shape(dr * ur + di * ui, spec_shape)
     pi = _reduce_to_shape(di * ur - dr * ui, spec_shape)
-    dk = ifft_chain_real(pr, pi, fft_size)[..., :seqlen].reshape(k.shape)
+    dk = ifft_chain_real(pr, pi, fft_size)[..., :k.shape[-1]].reshape(k.shape)
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 
@@ -787,7 +787,7 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
 
     c = k.shape[0]
     back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(c, r * m)
-    dk = ifft_chain_real(back(pr), back(pi), fft_size)[..., :seqlen]
+    dk = ifft_chain_real(back(pr), back(pi), fft_size)[..., :k.shape[-1]]
     dk = dk.reshape(k.shape)
 
     D_arr = jnp.asarray(D)
@@ -822,7 +822,7 @@ def _fftconv_bwd_pallas_spec(res, dy, fft_size, plan_rmc):
         ur_s, ui_s, dy_in, k_in, d_arr, r, m, cb,
         interpret=PALLAS_FFTCONV_INTERPRET)
     du = du[..., :seqlen]
-    dk = dk_t[..., :seqlen].reshape(k.shape)
+    dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
 
     c = k.shape[0]
     D_arr = jnp.asarray(D)
@@ -864,7 +864,7 @@ def _fftconv_bwd_long(gelu, res, dy, fft_size):
     k_b_shape = _expand_k(k, u.ndim).shape
     spec_shape = k_b_shape[:-1] + (fft_size,)
     prod = _reduce_to_shape(dy_f * u_f.conj(), spec_shape)
-    dk = inv_t(prod, fft_size).real[..., :seqlen].reshape(k.shape)
+    dk = inv_t(prod, fft_size).real[..., :k.shape[-1]].reshape(k.shape)
     dD = _reduce_to_shape(dy * u.astype(f32), D_arr.shape + (1,)).reshape(D_arr.shape)
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 

@@ -129,6 +129,23 @@ class HG38Task(LMTask):
             self.metric_names.append("per_token_ppl")
 
 
+class ICLTask(LMTask):
+    """k-shot in-context-learning over label tokens: the batch is
+    (prompt, 1-token target) — score the LM's LAST-position logits against
+    the label token (`icl_genomics_dataset.py:153-177` emits exactly this
+    pair). The reference ships an hg38_hyena_icl experiment wired to the
+    plain LM task (`configs/experiment/hg38/hg38_hyena_icl.yaml:35`), which
+    cannot consume the 1-token target (CE shape mismatch) — this task is
+    the trainer-trainable completion of that config."""
+
+    def prepare(self, logits, y):
+        return logits[:, -1, :], y.reshape(-1)
+
+    def loss_stats(self, logits, y):
+        logits, y = self.prepare(logits, y)
+        return M.cross_entropy_stats(logits, y)
+
+
 class MulticlassTask(BaseTask):
     """Sequence-level classification (`tasks.py:184-241`). Targets arrive as
     (B,) or (B, 1); logits as (B, C)."""
@@ -160,6 +177,7 @@ TASK_REGISTRY: Dict[str, type] = {
     "lm": LMTask,
     "hg38": HG38Task,
     "adaptive_lm": AdaptiveLMTask,
+    "icl": ICLTask,
     "multiclass": MulticlassTask,
     "masked_multiclass": MulticlassTask,  # mask flows through kwargs
 }

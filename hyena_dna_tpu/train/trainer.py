@@ -360,8 +360,14 @@ class Trainer:
         for cb in self.callbacks:
             cb.on_fit_start(self)
 
+        # test-only mode (`train.test: true`, reference hg38_fixed_test.yaml):
+        # skip the epoch loop and run the test split — used with a pretrained
+        # checkpoint for fixed-window perplexity evaluation
+        test_only = bool(self.train_cfg.get("test") or
+                         self.train_cfg.get("test_only"))
+
         ppl = M.Perplexity()
-        while self.epoch < max_epochs:
+        while not test_only and self.epoch < max_epochs:
             for cb in self.callbacks:
                 cb.on_epoch_start(self)
             if self._train_loader is None:

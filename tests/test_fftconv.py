@@ -500,3 +500,31 @@ def test_pallas_packed_vs_unpacked_paths():
          F.PALLAS_PACK_BATCH, F.PALLAS_SAVE_SPEC_MAX_BYTES) = old
         PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
         PF._CB_BY_N.pop(4096, None)
+
+
+def test_fftconv_short_filter_grads():
+    """Filter SHORTER than the signal (l > l_max routing in HyenaOperator:
+    only the filter truncates): forward equals the zero-padded-filter conv
+    and the custom VJP matches autodiff through the reference, with dk
+    cropped to the filter's own length."""
+    rng = np.random.default_rng(9)
+    B, C, L, Lk = 2, 4, 96, 40
+    u = jnp.asarray(rng.standard_normal((B, C, L)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((C, Lk)).astype(np.float32))
+    D = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+
+    y1 = fftconv(u, k, D, False)
+    k_pad = jnp.pad(k, [(0, 0), (0, L - Lk)])
+    y2 = fftconv_ref(u, k_pad, D)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-5)
+
+    f1 = lambda u, k, D: jnp.sum(jnp.sin(fftconv(u, k, D, False)))
+    f2 = lambda u, k, D: jnp.sum(
+        jnp.sin(fftconv_ref(u, jnp.pad(k, [(0, 0), (0, L - Lk)]), D)))
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(u, k, D)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(u, k, D)
+    g2 = (g2[0], g2[1][:, :Lk], g2[2])  # pad cotangent -> crop
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

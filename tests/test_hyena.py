@@ -214,7 +214,12 @@ def test_hyena_operator_post_order_ffn():
 
 
 def test_hyena_operator_input_longer_than_lmax():
-    """l > l_max: output truncates to l_max (reference l_filter = min(l, l_max))."""
+    """l > l_max: the FILTER truncates to l_max but the sequence keeps full
+    length (the reference crops the sequence itself, `hyena.py:394`, which
+    shrinks the layer output and breaks its own residual add — here ICL
+    prompts longer than l_max run end-to-end). Causality makes the first
+    l_max positions exactly the reference computation, so the oracle parity
+    check applies to that prefix."""
     d, L = 16, 64
     mod = HyenaOperator(d_model=d, l_max=L, order=2, filter_order=16,
                         filter_cfg=dict(emb_dim=3, w=1))
@@ -223,12 +228,13 @@ def test_hyena_operator_input_longer_than_lmax():
     )
     variables = mod.init(jax.random.PRNGKey(6), u)
     y = mod.apply(variables, u)
-    assert y is not None and y.shape == (1, L, d)
+    assert y is not None and y.shape == (1, L + 32, d)
+    assert bool(jnp.isfinite(y).all())
     oracle_params = _operator_params_to_oracle(variables["params"])
     y_t = hyena_operator_oracle(
         oracle_params, torch.as_tensor(np.asarray(u)), 2, d, L, emb_dim=3
     ).numpy()
-    np.testing.assert_allclose(np.asarray(y), y_t, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y[:, :L]), y_t, rtol=1e-3, atol=1e-4)
 
 
 def test_hyena_operator_multi_head_grads_finite():

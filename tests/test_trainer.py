@@ -473,3 +473,73 @@ def test_chromatin_profile_multilabel_e2e(tmp_path):
     assert "test/auroc_macro" in final
     assert 0.0 <= final["test/auroc_macro"] <= 1.0
     assert np.isfinite(final["test/loss"])
+
+
+# --------------------------------------------------------------------------
+# experiment preset smoke runs (reference config-surface parity)
+# --------------------------------------------------------------------------
+
+
+def test_hg38_fixed_test_only_preset(tmp_path, tiny_genome):
+    """hg38_fixed_test: `train.test: true` skips the training loop and
+    evaluates fixed non-overlapping windows (reference hg38_fixed_test.yaml
+    semantics)."""
+    fa, _ = tiny_genome
+    cfg = build_config([
+        "experiment=hg38/hg38_fixed_test",
+        f"dataset.fasta_file={fa}",
+        "dataset.max_length=64", "dataset.batch_size=4",
+        "dataset.num_workers=0",
+        "model.d_model=32", "model.d_inner=128", "model.layer.l_max=66",
+        "model.layer.filter_order=16",
+        "trainer.precision=32",
+        f"train.run_dir={tmp_path / 'run'}",
+    ])
+    cfg["dataset"]["chr_ranges"] = {"chr1": [0, 512]}
+    cfg["mesh"] = {"data": 2}
+    t = Trainer(cfg)
+    final = t.fit()
+    assert t.global_step == 0  # no training happened
+    assert "test/ppl" in final and np.isfinite(final["test/ppl"])
+    # 512 bases / 64-length windows -> 8 fixed windows
+    assert len(t.datamodule.dataset_test.intervals) == 8
+
+
+def test_icl_preset_smoke(tmp_path, tiny_benchmark):
+    """hg38_hyena_icl: k-shot prompt LM training composes and steps."""
+    cfg = build_config([
+        "experiment=hg38/hg38_hyena_icl",
+        "dataset.dataset_name=toy_task",
+        f"dataset.dest_path={tiny_benchmark}",
+        "dataset.max_length=64", "dataset.batch_size=4", "dataset.shots=1",
+        "dataset.num_workers=0",
+        "model.d_model=32", "model.d_inner=128", "model.layer.l_max=66",
+        "model.layer.filter_order=16",
+        "trainer.max_epochs=1", "trainer.precision=32",
+        f"train.run_dir={tmp_path / 'run'}",
+    ])
+    cfg["mesh"] = {"data": 2}
+    t = Trainer(cfg)
+    final = t.fit()
+    assert t.global_step > 0
+    assert np.isfinite(final.get("test/loss", np.nan))
+
+
+def test_attention_preset_smoke(tmp_path, tiny_genome):
+    """hg38_attention: the pure-MHA backbone preset trains end-to-end."""
+    fa, bed = tiny_genome
+    cfg = build_config([
+        "experiment=hg38/hg38_attention",
+        f"dataset.fasta_file={fa}", f"dataset.bed_file={bed}",
+        "dataset.max_length=64", "dataset.batch_size=4",
+        "dataset.num_workers=0",
+        "model.d_model=32", "model.d_inner=128", "model.layer.l_max=66",
+        "model.layer.filter_order=16", "model.attn_cfg.num_heads=4",
+        "trainer.max_epochs=1", "trainer.precision=32",
+        f"train.run_dir={tmp_path / 'run'}",
+    ])
+    cfg["mesh"] = {"data": 2}
+    t = Trainer(cfg)
+    final = t.fit()
+    assert t.global_step > 0
+    assert np.isfinite(final.get("test/ppl", np.nan))
