@@ -51,7 +51,43 @@ def next_fast_fft_size(n: int) -> int:
 # set (rows x n complex64 across ~4 live buffers) so the channel-chunked
 # long-context path can still use the MXU with small chunks.
 MATMUL_FFT_MIN = 1 << 16
-MXU_FFT_BUDGET_BYTES = 3 << 30  # ~3 GB working set
+# Memory-guard budgets below were tuned on the 16 GB v5e; they scale with
+# the runtime device's HBM (see _hbm_scale) so a v5p (95 GB) isn't silently
+# capped at v5e limits. Env overrides win. The CHUNK budget is different:
+# it is a measured *scheduling* optimum, not a memory guard (bigger chunks
+# ran slower on v5e) — it stays fixed unless overridden.
+_TUNED_HBM_BYTES = 16 << 30
+_MXU_FFT_BUDGET_BASE = 3 << 30  # ~3 GB working set on the 16 GB v5e
+
+
+def _hbm_scale() -> float:
+    """This device's HBM relative to the 16 GB v5e the memory-guard budgets
+    were tuned on, clamped to [1, 8]. CPU/unknown devices -> 1 (the tuned
+    guards are conservative everywhere)."""
+    global _HBM_SCALE_CACHE
+    if _HBM_SCALE_CACHE is None:
+        scale = 1.0
+        try:
+            if jax.default_backend() == "tpu":
+                stats = jax.devices()[0].memory_stats() or {}
+                limit = stats.get("bytes_limit") or stats.get(
+                    "bytes_reservable_limit") or 0
+                if limit:
+                    scale = min(8.0, max(1.0, limit / _TUNED_HBM_BYTES))
+        except Exception:
+            pass
+        _HBM_SCALE_CACHE = scale
+    return _HBM_SCALE_CACHE
+
+
+_HBM_SCALE_CACHE: Optional[float] = None
+
+
+def mxu_fft_budget_bytes() -> int:
+    env = os.environ.get("HYENA_MXU_FFT_BUDGET")
+    if env:
+        return int(env)
+    return int(_MXU_FFT_BUDGET_BASE * _hbm_scale())
 
 
 def _use_mxu_fft(n: int, rows: int = 1) -> bool:
@@ -59,7 +95,7 @@ def _use_mxu_fft(n: int, rows: int = 1) -> bool:
         return (
             n >= MATMUL_FFT_MIN
             and n & (n - 1) == 0  # matmul-FFT chains assume pow2 sizes
-            and 4 * rows * n * 8 <= MXU_FFT_BUDGET_BYTES
+            and 4 * rows * n * 8 <= mxu_fft_budget_bytes()
             and jax.default_backend() == "tpu"
         )
     except Exception:
@@ -246,8 +282,15 @@ def _packed_eligible(u, k, fft_size):
 PALLAS_FFTCONV = True
 # Max bytes of saved u-spectrum per conv call (bf16 ri pair): above this the
 # backward recomputes u's transform instead (long-context paths are chunked
-# and pass save_spectra=False anyway).
-PALLAS_SAVE_SPEC_MAX_BYTES = 1 << 29
+# and pass save_spectra=False anyway). Memory guard -> scales with HBM.
+_PALLAS_SAVE_SPEC_BASE = 1 << 29
+
+
+def pallas_save_spec_max_bytes() -> int:
+    env = os.environ.get("HYENA_PALLAS_SAVE_SPEC_MAX")
+    if env:
+        return int(env)
+    return int(_PALLAS_SAVE_SPEC_BASE * _hbm_scale())
 PALLAS_FFTCONV_INTERPRET = False  # tests: run the kernel in interpret mode
 # Batch-pair packing: two real batch rows per complex transform (linearity;
 # no conjugate-symmetry unpack needed — see ops/pallas_fftconv.py). Engaged
@@ -407,7 +450,7 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
             spec_bytes = 2 * 2 * math.prod(u.shape[:-1]) * fft_size
             if packed:
                 spec_bytes //= 2  # packed spectrum covers two rows
-            if save_spectra and spec_bytes <= PALLAS_SAVE_SPEC_MAX_BYTES:
+            if save_spectra and spec_bytes <= pallas_save_spec_max_bytes():
                 # save u's permuted spectrum: the backward then transforms
                 # only dy (one fwd transform instead of two) and gets dD
                 # free via Parseval from the dk accumulator
@@ -576,7 +619,9 @@ def fftconv_aliased(u: jax.Array, k: jax.Array, D: jax.Array) -> jax.Array:
 # the FFT workspace resident and let XLA overlap the scan; measured on the
 # 450k train step (16 GB v5e): 1<<28 (chunk 8) = 2.66 s/step, 1<<29
 # (chunk 16) = 4.41 s/step, 1<<30 (chunk 32) never finished compiling
-# through the tunnel. Bigger is NOT better here.
+# through the tunnel. Bigger is NOT better here — this is a SCHEDULING
+# optimum, not a memory guard, so unlike mxu_fft_budget_bytes() it does
+# not scale with device HBM (re-tune via the env override on new parts).
 FFTCONV_CHUNK_BUDGET = int(os.environ.get("HYENA_FFTCONV_CHUNK_BUDGET",
                                           1 << 28))
 

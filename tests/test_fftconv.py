@@ -528,3 +528,28 @@ def test_fftconv_short_filter_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_device_derived_budgets():
+    """Memory-guard budgets derive from the runtime device's HBM (tuned on
+    the 16 GB v5e, scaled by the actual bytes_limit, clamped [1,8]); env
+    overrides win; CPU keeps the conservative tuned values."""
+    import importlib
+    import os
+
+    # the ops package re-exports the fftconv FUNCTION under the same name,
+    # shadowing the submodule attribute — resolve the module explicitly
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+
+    assert F._hbm_scale() >= 1.0  # CPU in tests -> exactly the tuned base
+    if jax.default_backend() == "cpu":
+        assert F.mxu_fft_budget_bytes() == F._MXU_FFT_BUDGET_BASE
+        assert F.pallas_save_spec_max_bytes() == F._PALLAS_SAVE_SPEC_BASE
+    os.environ["HYENA_MXU_FFT_BUDGET"] = str(123 << 20)
+    os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"] = str(45 << 20)
+    try:
+        assert F.mxu_fft_budget_bytes() == 123 << 20
+        assert F.pallas_save_spec_max_bytes() == 45 << 20
+    finally:
+        del os.environ["HYENA_MXU_FFT_BUDGET"]
+        del os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"]
