@@ -29,7 +29,12 @@ from hyena_dna_tpu.data.tokenizer import string_reverse_complement
 
 def build_fai(fasta_path: str | os.PathLike) -> List[Tuple[str, int, int, int, int]]:
     """Scan a FASTA file and produce (name, length, offset, linebases,
-    linewidth) per record — the samtools faidx layout."""
+    linewidth) per record — the samtools faidx layout.
+
+    Validates the faidx precondition (every sequence line except a record's
+    last has identical length): coordinate math over an irregularly-wrapped
+    file would be silently wrong, so reject it loudly (samtools faidx
+    errors on such files too)."""
     records = []
     with open(fasta_path, "rb") as f:
         name = None
@@ -38,8 +43,8 @@ def build_fai(fasta_path: str | os.PathLike) -> List[Tuple[str, int, int, int, i
         linebases = 0
         linewidth = 0
         first_line = True
+        pending_short = None  # a shorter line is only legal as the LAST line
         while True:
-            line_start = f.tell()
             line = f.readline()
             if not line:
                 break
@@ -50,12 +55,26 @@ def build_fai(fasta_path: str | os.PathLike) -> List[Tuple[str, int, int, int, i
                 length = 0
                 offset = f.tell()
                 first_line = True
+                pending_short = None
             else:
                 stripped = len(line.rstrip(b"\r\n"))
+                if pending_short is not None and stripped:
+                    raise ValueError(
+                        f"{fasta_path}: record {name!r} has a short line "
+                        f"({pending_short} bases) before its end — faidx "
+                        "offsets would be wrong; re-wrap the FASTA uniformly"
+                    )
                 if first_line and stripped:
                     linebases = stripped
                     linewidth = len(line)
                     first_line = False
+                elif stripped and stripped != linebases:
+                    if stripped > linebases:
+                        raise ValueError(
+                            f"{fasta_path}: record {name!r} has a line longer "
+                            f"than the first ({stripped} > {linebases})"
+                        )
+                    pending_short = stripped  # fine iff it's the last line
                 length += stripped
         if name is not None:
             records.append((name, length, offset, linebases, linewidth))

@@ -1,0 +1,185 @@
+"""Recurrent-stepper measurement on a TRAINED checkpoint.
+
+Two questions VERDICT r2 asked (#5):
+  (a) distillation ppl drift — held-out perplexity of the modal-distilled
+      recurrent stepper vs the parallel forward, at several mode counts P;
+  (b) speed — tokens/s of the O(1)/token stepper vs the fixed-buffer
+      re-forward loop (`generation.py`) at several prompt lengths.
+
+Checkpoint: a synthetic-hg38 pretrain at the reference recipe
+(runs/drift_f32, d=128 n=2 L=1024 — `python -m hyena_dna_tpu.train
+experiment=hg38/hg38_hyena ...`). Eval windows come from the held-out
+chr4 tail of the same synthetic genome.
+
+The reference has no recurrent path at all (`hyena.py:384-386` leaves
+`recurrence` unimplemented), so (b) is measured against the only
+generation mode the reference supports.
+
+Usage:
+  python scripts/bench_recurrent.py drift   # CPU-friendly, ppl drift vs P
+  python scripts/bench_recurrent.py speed   # on-chip tokens/s comparison
+
+Writes artifacts/recurrent_drift.json / artifacts/recurrent_speed.json.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
+
+ensure_tpu_flags()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+
+CKPT = REPO / "runs/drift_f32/checkpoints/best"
+FASTA = REPO / "data/hg38/synthetic_hg38.fa"
+
+CFG = dict(d_model=128, n_layer=2, d_inner=512, vocab_size=12,
+           pad_vocab_size_multiple=8, residual_in_fp32=True,
+           embed_dropout=0.1)
+LAYER = dict(_name_="hyena", emb_dim=5, filter_order=64,
+             short_filter_order=3, l_max=1026, modulate=True, w=10)
+
+
+def load_model_and_params():
+    from hyena_dna_tpu.models import ConvLMHeadModel
+    from hyena_dna_tpu.train.checkpoint import restore_params_only
+
+    model = ConvLMHeadModel(layer=dict(LAYER), dtype=jnp.float32, **CFG)
+    params = restore_params_only(str(CKPT))
+    return model, params
+
+
+def eval_windows(n_windows=16, length=1024):
+    """Held-out windows from the chr4 tail (the bed's test split region).
+    Reads the record text directly (robust to any line wrapping) rather
+    than through faidx."""
+    from hyena_dna_tpu.data.tokenizer import CharacterTokenizer
+
+    tok = CharacterTokenizer(model_max_length=length + 2)
+    chunks, active = [], False
+    with open(FASTA) as f:
+        for line in f:
+            if line.startswith(">"):
+                active = line[1:].strip() == "chr4"
+                continue
+            if active:
+                chunks.append(line.strip())
+    text = "".join(chunks)
+    base = 15_500_000  # inside the held-out tail
+    xs = []
+    for i in range(n_windows):
+        seq = text[base + i * length: base + (i + 1) * length].upper()
+        ids = tok(seq, add_special_tokens=False)["input_ids"]
+        xs.append(np.asarray(ids, np.int32))
+    return np.stack(xs)
+
+
+def exact_ppl_from_logits(logits, targets):
+    lg = np.asarray(logits, np.float64)
+    lg = lg - lg.max(-1, keepdims=True)
+    lp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+    nll = -np.take_along_axis(lp, targets[..., None], axis=-1)
+    return float(np.exp(nll.mean()))
+
+
+def run_drift():
+    from hyena_dna_tpu.recurrent import distill
+
+    model, params = load_model_and_params()
+    toks = eval_windows()
+    x, y = toks[:, :-1], toks[:, 1:]
+
+    logits_par, _ = jax.jit(
+        lambda p, x: model.apply({"params": p}, x, deterministic=True)
+    )(params, jnp.asarray(x))
+    ppl_par = exact_ppl_from_logits(logits_par, y)
+
+    results = {"parallel_ppl": ppl_par, "windows": int(toks.shape[0]),
+               "window_len": int(toks.shape[1]), "per_P": {}}
+    for P in (16, 32, 64, 128):
+        rec = distill(model, params, n_modes=P)
+
+        @jax.jit
+        def all_logits(rec, tokens):
+            def body(st, tokcol):
+                st, lg = rec.step(st, tokcol)
+                return st, lg
+            _, lgs = jax.lax.scan(body, rec.init_state(tokens.shape[0]),
+                                  jnp.swapaxes(tokens, 0, 1))
+            return jnp.swapaxes(lgs, 0, 1)  # (B, T, V)
+
+        logits_rec = all_logits(rec, jnp.asarray(x))
+        ppl_rec = exact_ppl_from_logits(logits_rec, y)
+        results["per_P"][P] = {
+            "recurrent_ppl": ppl_rec,
+            "drift_pct": 100.0 * (ppl_rec - ppl_par) / ppl_par,
+            "fit_rel_err": rec.fit_rel_err,
+        }
+        print(f"P={P}: parallel ppl {ppl_par:.4f} -> recurrent {ppl_rec:.4f} "
+              f"({results['per_P'][P]['drift_pct']:+.3f}%), "
+              f"fit_rel_err {rec.fit_rel_err:.2e}", flush=True)
+
+    out = REPO / "artifacts/recurrent_drift.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+def run_speed():
+    from hyena_dna_tpu.generation import generate as parallel_generate
+    from hyena_dna_tpu.recurrent import distill
+
+    model, params = load_model_and_params()
+    rec = distill(model, params, n_modes=64)
+    results = {}
+    new_tokens = 256
+    for prompt_len in (1024, 8192, 32768):
+        rng = np.random.default_rng(0)
+        prompt = jnp.asarray(
+            rng.integers(7, 11, size=(1, prompt_len)), jnp.int32)
+
+        # recurrent stepper: prefill scan + O(1) generation steps
+        gen_rec = jax.jit(lambda rec, p: rec.generate(p, new_tokens))
+        out = gen_rec(rec, prompt)
+        float(jnp.sum(out))  # hard sync (compile + warm)
+        t0 = time.perf_counter()
+        out = gen_rec(rec, prompt)
+        float(jnp.sum(out))
+        dt_rec = time.perf_counter() - t0
+
+        # fixed-buffer re-forward loop (the only mode the reference has)
+        out = parallel_generate(model, params, prompt, new_tokens)
+        float(jnp.sum(out))
+        t0 = time.perf_counter()
+        out = parallel_generate(model, params, prompt, new_tokens)
+        float(jnp.sum(out))
+        dt_par = time.perf_counter() - t0
+
+        results[prompt_len] = {
+            "new_tokens": new_tokens,
+            "recurrent_s": round(dt_rec, 3),
+            "recurrent_tok_s": round(new_tokens / dt_rec, 1),
+            "reforward_s": round(dt_par, 3),
+            "reforward_tok_s": round(new_tokens / dt_par, 1),
+            "speedup": round(dt_par / dt_rec, 2),
+        }
+        print(f"prompt {prompt_len}: stepper {new_tokens/dt_rec:.1f} tok/s "
+              f"vs re-forward {new_tokens/dt_par:.1f} tok/s "
+              f"({dt_par/dt_rec:.1f}x)", flush=True)
+
+    out = REPO / "artifacts/recurrent_speed.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "drift"
+    (run_drift if mode == "drift" else run_speed)()

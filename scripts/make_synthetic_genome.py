@@ -82,11 +82,13 @@ def main():
             name = f"chr{ci + 1}"
             seq = make_chrom(per, rng)
             ff.write(f">{name}\n")
-            step = 1 << 16
-            for i in range(0, per, step):
-                chunk = seq[i : i + step].tobytes().decode()
-                for j in range(0, len(chunk), 80):
-                    ff.write(chunk[j : j + 80] + "\n")
+            # one uniform 80-col wrap over the WHOLE record: faidx assumes
+            # every line but the last has identical length, so chunked
+            # wrapping (the old 2^16-byte chunks left a short line per
+            # chunk) silently breaks coordinate math in any faidx reader
+            text = seq.tobytes().decode()
+            for j in range(0, per, 80):
+                ff.write(text[j : j + 80] + "\n")
             # splits like the reference bed: most of each chrom train, a
             # held-out tail split into valid/test windows
             train_end = int(per * 0.90)
