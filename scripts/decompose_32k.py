@@ -27,6 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 import os
 L, d, nl, B = 32768, 256, 8, int(os.environ.get('DEC_B', 4))
 REPS = 20
+# residual-stream dtype under test (DEC_RESID=f32|bf16, default bf16 — the
+# bench default after the drift study; see STATUS.md round-3 notes)
+RESID_F32 = os.environ.get('DEC_RESID', 'bf16') == 'f32'
 
 
 def timeit(name, fn, *args, self_carry=False):
@@ -119,7 +122,8 @@ if {"model_fwd", "model_train"} & set(want):
     layer = dict(_name_="hyena", emb_dim=5, filter_order=64,
                  short_filter_order=3, l_max=L, modulate=True, w=10)
     model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
-                            pad_vocab_size_multiple=8, residual_in_fp32=True,
+                            pad_vocab_size_multiple=8,
+                            residual_in_fp32=RESID_F32,
                             layer=layer, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, L), jnp.int32))["params"]
@@ -166,15 +170,17 @@ if "glue_train" in want:
     x = jnp.asarray(rng.normal(size=(B, L, d)).astype(np.float32), jnp.bfloat16)
     p = jax.jit(ln.init)(jax.random.PRNGKey(0), x)["params"]
 
+    res_dt = jnp.float32 if RESID_F32 else jnp.bfloat16
+
     def glue(p, x):
-        res = x.astype(jnp.float32)
+        res = x.astype(res_dt)
         h = x
         for _ in range(nl):
             h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
-            res = res + h.astype(jnp.float32)
+            res = (res + h.astype(res_dt)).astype(res_dt)
             h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
-            res = res + h.astype(jnp.float32)
-        return jnp.sum(res[..., :1] ** 2)
+            res = (res + h.astype(res_dt)).astype(res_dt)
+        return jnp.sum(res[..., :1].astype(jnp.float32) ** 2)
 
     g = jax.grad(glue, argnums=(0, 1))
     timeit("glue_train", lambda p, x: (sum(
