@@ -233,6 +233,18 @@ class Block(fnn.Module):
                 dtype=self.dtype,
             )
 
+    def _add_norm(self, norm, hidden: jax.Array,
+                  residual: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+        """dropout-output + residual -> (normed, new residual), through the
+        fused add+LN unit (`ops/pallas_ln.py`) when a residual exists."""
+        dt = self._resid_dt
+        if residual is None:
+            residual = hidden.astype(dt) if dt is not None else hidden
+            return norm(residual), residual
+        if dt is not None and residual.dtype != dt:
+            residual = residual.astype(dt)
+        return norm(hidden, residual)
+
     def pre(
         self,
         hidden_states: jax.Array,
@@ -240,20 +252,20 @@ class Block(fnn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         """dropout -> add -> norm1 -> mixer -> dropout -> add: from the block
-        boundary to the post-mixer residual (requires an MLP block)."""
+        boundary to the post-mixer residual (requires an MLP block).
+
+        The second add's LN (norm2) lives in `post` — across the
+        residual-only remat boundary — so only the first unit fuses here;
+        the non-remat `__call__` path fuses both."""
         assert not self.identity_mlp
         dt = self._resid_dt
         dropped = self.dropout1(hidden_states, deterministic=deterministic)
-        residual = (dropped + residual) if residual is not None else dropped
-        if dt is not None:
-            residual = residual.astype(dt)
-        hidden_states = self.norm1(residual)
+        hidden_states, residual = self._add_norm(self.norm1, dropped, residual)
         out = self.mixer(hidden_states, deterministic)
         hidden_states = out[0] if isinstance(out, tuple) else out
         dropped = self.dropout2(hidden_states, deterministic=deterministic)
-        residual = dropped + residual
-        if dt is not None:
-            residual = residual.astype(dt)
+        residual = (dropped.astype(jnp.float32)
+                    + residual.astype(jnp.float32)).astype(dt or self.dtype)
         return residual
 
     def post(self, residual: jax.Array) -> jax.Array:
@@ -270,14 +282,16 @@ class Block(fnn.Module):
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
         if self.identity_mlp:
-            dt = self._resid_dt
             dropped = self.dropout1(hidden_states, deterministic=deterministic)
-            residual = (dropped + residual) if residual is not None else dropped
-            if dt is not None:
-                residual = residual.astype(dt)
-            hidden_states = self.norm1(residual)
+            hidden_states, residual = self._add_norm(self.norm1, dropped,
+                                                     residual)
             out = self.mixer(hidden_states, deterministic)
             hidden_states = out[0] if isinstance(out, tuple) else out
             return hidden_states, residual
-        residual = self.pre(hidden_states, residual, deterministic)
-        return self.post(residual), residual
+        dropped = self.dropout1(hidden_states, deterministic=deterministic)
+        hidden_states, residual = self._add_norm(self.norm1, dropped, residual)
+        out = self.mixer(hidden_states, deterministic)
+        hidden_states = out[0] if isinstance(out, tuple) else out
+        dropped = self.dropout2(hidden_states, deterministic=deterministic)
+        hidden_states, residual = self._add_norm(self.norm2, dropped, residual)
+        return self.mlp(hidden_states), residual

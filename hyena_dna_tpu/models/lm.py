@@ -32,6 +32,7 @@ from flax import linen as fnn
 
 from hyena_dna_tpu.models.blocks import Block
 from hyena_dna_tpu.models.embeddings import GPT2Embeddings
+from hyena_dna_tpu.ops.layer_norm import LayerNormF32
 
 
 def _pad_vocab(vocab_size: int, multiple: int) -> int:
@@ -103,8 +104,11 @@ class LMBackbone(fnn.Module):
             for i in range(self.n_layer)
         ]
         self.drop_f = fnn.Dropout(rate=self.resid_dropout, name="drop_f")
-        self.ln_f = fnn.LayerNorm(
-            epsilon=self.layer_norm_epsilon, dtype=jnp.float32, name="ln_f"
+        # f32-stats LN emitting the model dtype, with the fused add+LN path
+        # for the final residual join; params ("scale"/"bias") interchange
+        # with fnn.LayerNorm checkpoints.
+        self.ln_f = LayerNormF32(
+            epsilon=self.layer_norm_epsilon, out_dtype=self.dtype, name="ln_f"
         )
 
     @property
@@ -186,9 +190,11 @@ class LMBackbone(fnn.Module):
                 hidden_states, residual = layer(hidden_states, residual,
                                                 deterministic)
         dropped = self.drop_f(hidden_states, deterministic=deterministic)
-        residual = (dropped + residual) if residual is not None else dropped
-        hidden_states = self.ln_f(residual.astype(jnp.float32))
-        return hidden_states.astype(self.dtype)
+        if residual is not None:
+            hidden_states, _ = self.ln_f(dropped, residual)
+        else:
+            hidden_states = self.ln_f(dropped)
+        return hidden_states
 
 
 class ConvLMHeadModel(fnn.Module):

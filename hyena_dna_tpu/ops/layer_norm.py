@@ -68,14 +68,28 @@ layer_norm_f32.defvjp(_ln_fwd, _ln_bwd)
 class LayerNormF32(fnn.Module):
     """Drop-in for `fnn.LayerNorm(dtype=f32)` + downstream cast: f32 stats,
     `out_dtype` output, scatter-free fused backward. Parameter names/shapes
-    ("scale", "bias") match `fnn.LayerNorm` so checkpoints interchange."""
+    ("scale", "bias") match `fnn.LayerNorm` so checkpoints interchange.
+
+    Called with a second argument `res`, it becomes the fused
+    residual-add + LN unit (the flash-attn `dropout_add_layer_norm` analog,
+    `ops/pallas_ln.py`) and returns `(y, res_out)` where
+    `res_out = (x + res)` rounded to the residual dtype."""
 
     epsilon: float = 1e-5
     out_dtype: Any = jnp.float32
+    use_pallas: Any = None  # None = auto (TPU backend); bool to force
+    interpret: bool = False
 
     @fnn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, res: jax.Array | None = None):
         d = x.shape[-1]
         scale = self.param("scale", fnn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", fnn.initializers.zeros, (d,), jnp.float32)
+        if res is not None:
+            from hyena_dna_tpu.ops.pallas_ln import add_ln
+
+            use = False if self.is_initializing() else self.use_pallas
+            return add_ln(x, res, scale, bias, eps=self.epsilon,
+                          out_dtype=self.out_dtype, res_dtype=res.dtype,
+                          use_pallas=use, interpret=self.interpret)
         return layer_norm_f32(x, scale, bias, self.epsilon, self.out_dtype)

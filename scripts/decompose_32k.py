@@ -173,13 +173,13 @@ if "glue_train" in want:
     res_dt = jnp.float32 if RESID_F32 else jnp.bfloat16
 
     def glue(p, x):
+        # mirror Block._add_norm: each unit is one fused add+LN call
+        # (Pallas kernel on TPU for the bf16 stream, XLA twin otherwise)
         res = x.astype(res_dt)
         h = x
         for _ in range(nl):
-            h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
-            res = (res + h.astype(res_dt)).astype(res_dt)
-            h = ln.apply({"params": p}, res.astype(jnp.bfloat16))
-            res = (res + h.astype(res_dt)).astype(res_dt)
+            h, res = ln.apply({"params": p}, h, res)
+            h, res = ln.apply({"params": p}, h, res)
         return jnp.sum(res[..., :1].astype(jnp.float32) ** 2)
 
     g = jax.grad(glue, argnums=(0, 1))

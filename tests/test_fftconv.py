@@ -461,8 +461,10 @@ def test_pallas_packed_vs_unpacked_paths():
     k = jnp.asarray((rng.normal(size=(4, 2048)) * 0.05).astype(np.float32))
     D = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
 
+    import os
+
     old = (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
-           F.PALLAS_PACK_BATCH, F.PALLAS_SAVE_SPEC_MAX_BYTES)
+           F.PALLAS_PACK_BATCH, os.environ.get("HYENA_PALLAS_SAVE_SPEC_MAX"))
     old_dot = (PF._DOT_DTYPE, PF._STORE_DTYPE)
     F._use_mxu_fft = lambda n, rows=1: n >= 4096
     F.MXU_SPECTRUM_DTYPE = None
@@ -477,7 +479,10 @@ def test_pallas_packed_vs_unpacked_paths():
 
         F.PALLAS_PACK_BATCH = True
         for save_bytes in (1 << 29, 0):  # spec-saving and recompute bwds
-            F.PALLAS_SAVE_SPEC_MAX_BYTES = save_bytes
+            # the budget is env-overridable (device-derived otherwise);
+            # "0" must read as an explicit zero, not fall through
+            os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"] = str(save_bytes)
+            assert F.pallas_save_spec_max_bytes() == save_bytes
             y = F.fftconv(u, k, D, False)
             np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
                                        atol=2e-3, rtol=1e-3)
@@ -497,7 +502,11 @@ def test_pallas_packed_vs_unpacked_paths():
                                    atol=1e-5)
     finally:
         (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
-         F.PALLAS_PACK_BATCH, F.PALLAS_SAVE_SPEC_MAX_BYTES) = old
+         F.PALLAS_PACK_BATCH, old_env) = old
+        if old_env is None:
+            os.environ.pop("HYENA_PALLAS_SAVE_SPEC_MAX", None)
+        else:
+            os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"] = old_env
         PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
         PF._CB_BY_N.pop(4096, None)
 
