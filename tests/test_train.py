@@ -406,3 +406,56 @@ def test_build_optimizer_lamb_and_adam_names():
         updates, state = tx.update(grads, state, params)
         new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         assert float(jnp.abs(new["dense"]["kernel"] - 1.0).max()) > 0
+
+
+def test_flat_optimizer_matches_tree_form():
+    """The flattened (per-group concatenated) adamw path must reproduce the
+    tree-form multi_transform + clip_by_global_norm trajectory on a real
+    model param tree, including the per-group lrs and the frozen groups."""
+    from hyena_dna_tpu.models import ConvLMHeadModel
+
+    layer = dict(_name_="hyena", emb_dim=5, filter_order=16,
+                 short_filter_order=3, l_max=128, modulate=True, w=10)
+    model = ConvLMHeadModel(d_model=64, n_layer=2, d_inner=128, vocab_size=12,
+                            pad_vocab_size_multiple=8, layer=layer)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 128), jnp.int32))["params"]
+    kw = dict(lr=1e-3, weight_decay=0.1, gradient_clip_val=0.5,
+              scheduler={"_name_": "cosine_warmup_timm", "t_initial": 10,
+                         "warmup_t": 2})
+    tx_tree, labels_t = build_optimizer(params, flatten=False, **kw)
+    tx_flat, labels_f = build_optimizer(params, flatten=True, **kw)
+    assert labels_t == labels_f
+
+    rng = np.random.default_rng(7)
+    grads_per_step = []
+    for _ in range(3):
+        flat = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.normal(size=p.shape).astype(np.float32) * 5.0), params)
+        grads_per_step.append(flat)
+
+    def run(tx):
+        p = params
+        s = tx.init(p)
+        for g in grads_per_step:
+            u, s = tx.update(g, s, p)
+            p = jax.tree_util.tree_map(lambda a, b: a + b, p, u)
+        return p
+
+    p_tree = run(tx_tree)
+    p_flat = run(tx_flat)
+    flat_a = traverse_util.flatten_dict(p_tree)
+    flat_b = traverse_util.flatten_dict(p_flat)
+    for path in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(flat_a[path]), np.asarray(flat_b[path]),
+            rtol=2e-5, atol=1e-7, err_msg="/".join(path))
+    # frozen groups stayed frozen on both paths
+    base = traverse_util.flatten_dict(params)
+    froz = [p for p, lab in traverse_util.flatten_dict(
+        label_params(params)).items() if lab == "modulation"]
+    assert froz
+    for path in froz:
+        np.testing.assert_array_equal(np.asarray(flat_b[path]),
+                                      np.asarray(base[path]))
