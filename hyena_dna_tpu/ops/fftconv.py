@@ -398,7 +398,7 @@ def _fftconv_bwd_pallas3(res, dy, fft_size, plan):
 
 
 def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False,
-                       save_spectrum=False, packed=False):
+                       save_spectrum=False, packed=False, narrow=False):
     from hyena_dna_tpu.ops import pallas_fftconv as _pf
 
     r, m, cb = plan_rmc
@@ -417,6 +417,10 @@ def _pallas_conv_apply(u, k, D, fft_size, plan_rmc, conj_filter=False,
                                  (u.shape[1],))
     # kernel rounds dot inputs to bf16 internally; pass u's native dtype so
     # bf16 callers don't pay an f32 round trip on the step's largest tensor
+    if narrow:
+        y = _pf.fftconv_fused_fwd_narrow(u_in, k_in, d_arr, r, m, cb,
+                                         interpret=PALLAS_FFTCONV_INTERPRET)
+        return y[..., :seqlen]
     fwd = _pf.fftconv_fused_fwd_packed if packed else _pf.fftconv_fused_fwd
     out = fwd(u_in, k_in, d_arr, r, m, cb, conj_filter=conj_filter,
               interpret=PALLAS_FFTCONV_INTERPRET,
@@ -443,14 +447,27 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
         if p3 is not None:
             y = _pallas3_apply(u, k, D, fft_size, p3).astype(u.dtype)
             return y, (u, k, D, None, None)
+    if not gelu:
+        # narrow fused plans (fft >= 2^19) stream channel blocks through
+        # VMEM and never build the XLA chain's HBM workspace, so they are
+        # NOT gated on the mxu-fft row budget
+        pnarrow = _pallas_conv_plan(u, k, fft_size, gelu)
+        if pnarrow is not None and pnarrow[2] < 8:
+            y = _pallas_conv_apply(u, k, D, fft_size, pnarrow,
+                                   narrow=True).astype(u.dtype)
+            return y, (u, k, D, None, None)
     if _use_mxu_fft(fft_size, _rows(u.shape)):
         pplan = _pallas_conv_plan(u, k, fft_size, gelu)
         if pplan is not None:
-            packed = _pallas_batch_packed(u)
+            from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+            split = _pf.needs_split_bwd(fft_size)
+            packed = _pallas_batch_packed(u) and not split
             spec_bytes = 2 * 2 * math.prod(u.shape[:-1]) * fft_size
             if packed:
                 spec_bytes //= 2  # packed spectrum covers two rows
-            if save_spectra and spec_bytes <= pallas_save_spec_max_bytes():
+            can_save = save_spectra and spec_bytes <= pallas_save_spec_max_bytes()
+            if can_save:
                 # save u's permuted spectrum: the backward then transforms
                 # only dy (one fwd transform instead of two) and gets dD
                 # free via Parseval from the dk accumulator
@@ -458,9 +475,12 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
                     u, k, D, fft_size, pplan, save_spectrum=True,
                     packed=packed)
                 return y.astype(u.dtype), (None, k, D, (ur_s, ui_s), None)
-            y = _pallas_conv_apply(u, k, D, fft_size, pplan,
-                                   packed=packed).astype(u.dtype)
-            return y, (u, k, D, None, None)
+            if not split:
+                y = _pallas_conv_apply(u, k, D, fft_size, pplan,
+                                       packed=packed).astype(u.dtype)
+                return y, (u, k, D, None, None)
+            # split-backward sizes need the saved spectrum; without it the
+            # conv stays on the XLA chain below
         ur, ui = fft_chain_ri(u.astype(f32), fft_size)
         kr, ki = fft_chain_ri(k.astype(f32), fft_size)
         krb, kib = _expand_k(kr, u.ndim), _expand_k(ki, u.ndim)
@@ -500,6 +520,10 @@ def _fftconv_bwd(gelu, save_spectra, res, dy):
             return _fftconv_bwd_pallas3(res, dy, fft_size, p3)
     if not gelu and _packed_eligible(u, k, fft_size):
         return _fftconv_bwd_packed(res, dy, fft_size)
+    if not gelu:
+        pnarrow = _pallas_conv_plan(u, k, fft_size, False)
+        if pnarrow is not None and pnarrow[2] < 8:
+            return _fftconv_bwd_pallas_narrow(res, dy, fft_size, pnarrow)
     if _use_mxu_fft(fft_size, _rows(u.shape)) or fft_size >= TWO_STEP_FFT_MIN:
         return _fftconv_bwd_long(gelu, res, dy, fft_size)
 
@@ -766,7 +790,12 @@ def _fftconv_bwd_mxu_ri(gelu, res, dy, fft_size):
     f32 = jnp.float32
     pplan = None if gelu else _pallas_conv_plan(u, k, fft_size, False)
     if pplan is not None:
-        return _fftconv_bwd_pallas(res, dy, fft_size, pplan)
+        from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+        if not _pf.needs_split_bwd(fft_size):
+            return _fftconv_bwd_pallas(res, dy, fft_size, pplan)
+        # split sizes (2^18) need the forward-saved spectrum: the monolith
+        # backward blows the VMEM cap there (121.9 MB measured) — chain
     ur, ui = (u_f_saved if u_f_saved is not None
               else fft_chain_ri(u.astype(f32), fft_size))
     kr, ki = (k_f_saved if k_f_saved is not None
@@ -841,6 +870,36 @@ def _fftconv_bwd_pallas(res, dy, fft_size, plan_rmc):
     return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
 
 
+def _fftconv_bwd_pallas_narrow(res, dy, fft_size, plan_rmc):
+    """Backward through the narrow-cb fused kernel (fft >= 2^19): one
+    recompute program emits du, dk (inverse included) and dD (Parseval)."""
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    u, k, D, _, _ = res
+    r, m, cb = plan_rmc
+    seqlen = u.shape[-1]
+    lp = (r // 2) * m
+    pad = [(0, 0), (0, 0), (0, lp - seqlen)] if seqlen < lp else None
+    u_in = jnp.pad(u, pad) if pad else u
+    dy_in = jnp.pad(dy, pad) if pad else dy
+    k_in = (jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
+            if k.shape[-1] < lp else k)
+    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (u.shape[1],)))
+    du, dk_t, dD_c = _pf.fftconv_fused_bwd_narrow(
+        u_in, dy_in, k_in, d_arr, r, m, cb,
+        interpret=PALLAS_FFTCONV_INTERPRET)
+    du = du[..., :seqlen]
+    dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
+    if D is None:
+        return du.astype(u.dtype), dk.astype(k.dtype), None
+    D_arr = jnp.asarray(D)
+    dD = _reduce_to_shape(dD_c.reshape(1, k.shape[0], 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
 def _fftconv_bwd_pallas_spec(res, dy, fft_size, plan_rmc):
     """Backward reusing u's spectrum saved by the fused-Pallas forward:
     one dy transform per program; dk (inverse included) and dD (Parseval)
@@ -859,13 +918,23 @@ def _fftconv_bwd_pallas_spec(res, dy, fft_size, plan_rmc):
     d_arr = (jnp.zeros((dy.shape[1],), jnp.float32) if D is None
              else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
                                    (dy.shape[1],)))
-    # a packed forward saved the (B//2, r, C, m) spectrum of u0 + i*u1
-    packed = ur_s.shape[0] * 2 == dy.shape[0]
-    bwd = (_pf.fftconv_fused_bwd_spec_packed if packed
-           else _pf.fftconv_fused_bwd_spec)
-    du, dk_t, dD_c = bwd(
-        ur_s, ui_s, dy_in, k_in, d_arr, r, m, cb,
-        interpret=PALLAS_FFTCONV_INTERPRET)
+    if _pf.needs_split_bwd(fft_size):
+        # fft 2^18: two kernels, each inside the VMEM cap (see the split-
+        # backward note in ops/pallas_fftconv.py)
+        du, dr_s, di_s = _pf.fftconv_fused_bwd_du(
+            dy_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+        dk_t, dD_c = _pf.fftconv_fused_dk_from_specs(
+            ur_s, ui_s, dr_s, di_s, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+    else:
+        # a packed forward saved the (B//2, r, C, m) spectrum of u0 + i*u1
+        packed = ur_s.shape[0] * 2 == dy.shape[0]
+        bwd = (_pf.fftconv_fused_bwd_spec_packed if packed
+               else _pf.fftconv_fused_bwd_spec)
+        du, dk_t, dD_c = bwd(
+            ur_s, ui_s, dy_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
     du = du[..., :seqlen]
     dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
 

@@ -622,6 +622,408 @@ def fftconv_fused_dk_spec(u, dy, r: int, m: int, cb: int,
 
 
 # ---------------------------------------------------------------------------
+# Split backward (fft 2^18): the one-kernel spectrum-saving backward needs
+# 106.7 MB of scoped VMEM at cb=8 — over what fits alongside the block
+# buffers in the 128 MB core. Splitting it at the natural seam (du needs
+# dy_f and k_f; dk needs dy_f and u_f) gives two kernels that each fit:
+#   A: transform dy once -> du = inv(dy_f*conj(k_f)) + dy*D, and WRITE the
+#      dy spectrum pair to HBM (bf16) for B;
+#   B: read the saved u and dy spectra, accumulate sum_b dy_f*conj(u_f) in
+#      f32 scratch over the batch grid, inverse + Parseval dD in-kernel.
+# Extra HBM vs the fused backward: one (B, r, C, m) bf16 spectrum pair
+# round trip (~0.5 GB r+w at B=1, C=256, 2^18 — ~0.7 ms at v5e bandwidth),
+# far below the XLA chain's per-pass round trips at this size.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_du_kernel(dy_ref, k_ref, d_ref,
+                   frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                   fms, cms,
+                   du_ref, dr_ref, di_ref, ksr_ref, ksi_ref,
+                   *, r: int, m: int):
+    """du program: one dy transform (spectrum pair also written out for the
+    dk kernel), multiply with conj(k_f), inverse, + dy*D."""
+    st = _STORE_DTYPE
+    cb = dy_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
+
+    dy = dy_ref[0]
+    dr, di = _fwd_transform(dy, cb, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+    dr_ref[0] = dr.astype(dr_ref.dtype)
+    di_ref[0] = di.astype(di_ref.dtype)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    du = _inverse_real((dr * kr - di * ki).reshape(r * cb, m),
+                       (dr * ki + di * kr).reshape(r * cb, m),
+                       cb, r, m, twr, twi, cmr, cmi, cms, crr, cri)
+    du = du.astype(jnp.float32) + dy.astype(jnp.float32) * d_ref[:, 0][:, None]
+    du_ref[0] = du.astype(du_ref.dtype)
+
+
+def fftconv_fused_bwd_du(dy, k, D, r: int, m: int, cb: int,
+                         interpret: bool = False):
+    """(du, dy_spec_r, dy_spec_i): input gradient plus dy's permuted
+    spectrum pair (bf16, (B, r, C, m)) for `fftconv_fused_dk_from_specs`."""
+    bsz, c, lp = dy.shape
+    assert lp == (r // 2) * m and k.shape == (c, lp)
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_du_kernel, r=r, m=m)
+    spec_out = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                            memory_space=pltpu.VMEM)
+    du, dr, di = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),
+        in_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cb, lp), lambda ci, bi: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            spec_out,
+            spec_out,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((bsz, r, c, m), _STORE_DTYPE),
+            jax.ShapeDtypeStruct((bsz, r, c, m), _STORE_DTYPE),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(dy, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dr, di
+
+
+def _dk_from_specs_kernel(ur_ref, ui_ref, dr_ref, di_ref,
+                          twr, twi, cmr, cmi, crr, cri, cms,
+                          dk_ref, dd_ref, pr_ref, pi_ref, *, r: int, m: int):
+    """dk program: no transforms — accumulate sum_b dy_f * conj(u_f) from
+    the saved spectra, inverse + Parseval dD on the last batch program."""
+    st = _STORE_DTYPE
+    cb = ur_ref.shape[2]
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    ur = ur_ref[0].astype(st)
+    ui = ui_ref[0].astype(st)
+    dr = dr_ref[0].astype(st)
+    di = di_ref[0].astype(st)
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk_ref[:] = _inverse_real(
+            spr.reshape(r * cb, m), spi.reshape(r * cb, m),
+            cb, r, m, twr, twi, cmr, cmi, cms, crr, cri).astype(dk_ref.dtype)
+        dd = jnp.sum(spr, axis=(0, 2), keepdims=False) / (r * m)
+        dd_ref[:] = jnp.broadcast_to(dd[:, None], (cb, 128)).astype(jnp.float32)
+
+
+def fftconv_fused_dk_from_specs(ur, ui, dr, di, r: int, m: int, cb: int,
+                                interpret: bool = False):
+    """(dk_time, dD) from saved u and dy spectrum pairs (B, r, C, m)."""
+    bsz, _, c, _ = ur.shape
+    lp = (r // 2) * m
+    consts = _dft_consts(r, m, r * m)
+    keys = ("tw_re", "tw_im", "cm_re", "cm_im", "cr_re", "cr_im", "cm_s")
+    vals = [consts[key] for key in keys]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_dk_from_specs_kernel, r=r, m=m)
+    spec_in = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                           memory_space=pltpu.VMEM)
+    dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz),
+        in_specs=[spec_in, spec_in, spec_in, spec_in, *const_specs],
+        out_specs=[
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, lp), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), jnp.float32),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(ur, ui, dr, di, *vals)
+    return dk, dd[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Single-channel ("narrow", cb=1) kernels for fft >= 2^19 — the 450k/1M
+# regime. VMEM temps scale with n*cb, so these sizes need cb < 8, but the
+# (1, cb, Lp) block layout pins cb to the sublane dim (>= 8), and a 4-D
+# (1, cb, r2, m) block needs (cb, r2, m) <-> (cb, Lp) merges whose sublane
+# dim CHANGES — full VMEM relayouts that Mosaic stacks as extra buffers
+# (measured: 108.9 MB scoped at n*cb = 2^20 vs the 96 MB cap).
+#
+# cb = 1 dissolves the problem: each program convolves ONE channel as a
+# pure 2-D (r2, m) <-> (r, m) pipeline — every operand is naturally
+# (sublane, lane)-tiled, there is NO relayout anywhere, and the matmuls
+# stay MXU-sized ((r, r2)@(r2, m), (r, m)@(m, m)). The backward recomputes
+# u's transform in-kernel (one program: du, dk-accumulate, inverse,
+# Parseval dD) instead of saving spectra — a spectrum pair at these sizes
+# is 0.5-2 GB of HBM per conv. D rides as (C, 1, 128) so its (1, 1, 128)
+# block keeps a legal last-two-dims shape.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_transform_2d(x, r, m, frr, fri, fmr, fmi, twr, twi, fms):
+    """(r2, m) real row -> digit-permuted spectrum pair, each (r, m)."""
+    st = _STORE_DTYPE
+    x = x.astype(st)
+    gr = _mm(frr[:], x)  # pass 1: contract the (half) major digit
+    gi = _mm(fri[:], x)
+    tr = twr[:].astype(st)
+    ti = twi[:].astype(st)
+    gr, gi = gr * tr - gi * ti, gr * ti + gi * tr
+    # pass 2: contract the minor digit with F_m (Karatsuba, 3 matmuls)
+    t1 = _mm(gr, fmr[:])
+    t2 = _mm(gi, fmi[:])
+    t3 = _mm(gr + gi, fms[:])
+    return t1 - t2, t3 - t1 - t2
+
+
+def _inverse_real_2d(wr, wi, r, m, twr, twi, cmr, cmi, cms, crr, cri):
+    """(r, m) product pair -> (r2, m) natural-order real output row."""
+    st = _STORE_DTYPE
+    t1 = _mm(wr, cmr[:])
+    t2 = _mm(wi, cmi[:])
+    t3 = _mm(wr + wi, cms[:])
+    hr = t1 - t2
+    hi = t3 - t1 - t2
+    tr = twr[:].astype(st)
+    ti = twi[:].astype(st)
+    hr, hi = hr * tr + hi * ti, hi * tr - hr * ti
+    return _mm(crr[:], hr) - _mm(cri[:], hi)
+
+
+def _conv_kernel_1(u_ref, k_ref, d_ref,
+                   frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                   fms, cms,
+                   y_ref, ksr_ref, ksi_ref, *, r: int, m: int):
+    """Forward program: one channel's full causal conv, all 2-D."""
+    st = _STORE_DTYPE
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform_2d(k_ref[0], r, m,
+                                     frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = ki0
+
+    u = u_ref[0, 0]  # (r2, m)
+    zr, zi = _fwd_transform_2d(u, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    y = _inverse_real_2d(zr * kr - zi * ki, zr * ki + zi * kr,
+                         r, m, twr, twi, cmr, cmi, cms, crr, cri)
+    y = y.astype(jnp.float32) + u.astype(jnp.float32) * d_ref[0, :, :1]
+    y_ref[0, 0] = y.astype(y_ref.dtype)
+
+
+def fftconv_fused_fwd_narrow(u, k, D, r: int, m: int, cb: int = 1,
+                             interpret: bool = False):
+    """Forward for fft >= 2^19: u (B, C, Lp) -> y (B, C, Lp)."""
+    del cb
+    bsz, c, lp = u.shape
+    r2 = r // 2
+    assert lp == r2 * m and k.shape == (c, lp)
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_conv_kernel_1, r=r, m=m)
+    io_spec = pl.BlockSpec((1, 1, r2, m), lambda ci, bi: (bi, ci, 0, 0),
+                           memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(c, bsz),
+        in_specs=[
+            io_spec,
+            pl.BlockSpec((1, r2, m), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, c, r2, m), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((r, m), _STORE_DTYPE),
+            pltpu.VMEM((r, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(u.reshape(bsz, c, r2, m), k.reshape(c, r2, m),
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
+      *vals)
+    return y.reshape(bsz, c, lp)
+
+
+def _bwd_full_kernel_1(u_ref, dy_ref, k_ref, d_ref,
+                       frr, fri, fmr, fmi, twr, twi, cmr, cmi, crr, cri,
+                       fms, cms,
+                       du_ref, dk_ref, dd_ref, ksr_ref, ksi_ref,
+                       pr_ref, pi_ref, *, r: int, m: int):
+    """One-program recompute backward for one channel: transforms u and dy,
+    emits du per batch, accumulates the dk spectrum in f32 scratch and runs
+    its inverse + Parseval dD on the last batch program."""
+    st = _STORE_DTYPE
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform_2d(k_ref[0], r, m,
+                                     frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = -ki0  # conjugated: correlation for the input grad
+
+    u = u_ref[0, 0]
+    dy = dy_ref[0, 0]
+    ur, ui = _fwd_transform_2d(u, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+    dr, di = _fwd_transform_2d(dy, r, m, frr, fri, fmr, fmi, twr, twi, fms)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    du = _inverse_real_2d(dr * kr - di * ki, dr * ki + di * kr,
+                          r, m, twr, twi, cmr, cmi, cms, crr, cri)
+    du = du.astype(jnp.float32) + dy.astype(jnp.float32) * d_ref[0, :, :1]
+    du_ref[0, 0] = du.astype(du_ref.dtype)
+
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk = _inverse_real_2d(spr, spi, r, m, twr, twi, cmr, cmi, cms,
+                              crr, cri)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dd = jnp.sum(spr) / (r * m)
+        dd_ref[:] = jnp.full((1, 1, 128), dd, jnp.float32)
+
+
+def fftconv_fused_bwd_narrow(u, dy, k, D, r: int, m: int, cb: int = 1,
+                             interpret: bool = False):
+    """(du, dk_time, dD) for fft >= 2^19, recomputing u's transform."""
+    del cb
+    bsz, c, lp = u.shape
+    r2 = r // 2
+    assert lp == r2 * m and k.shape == (c, lp)
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_full_kernel_1, r=r, m=m)
+    io_spec = pl.BlockSpec((1, 1, r2, m), lambda ci, bi: (bi, ci, 0, 0),
+                           memory_space=pltpu.VMEM)
+    du, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c, bsz),
+        in_specs=[
+            io_spec,
+            io_spec,
+            pl.BlockSpec((1, r2, m), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            io_spec,
+            pl.BlockSpec((1, r2, m), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, r2, m), dy.dtype),
+            jax.ShapeDtypeStruct((c, r2, m), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, m), _STORE_DTYPE),
+            pltpu.VMEM((r, m), _STORE_DTYPE),
+            pltpu.VMEM((r, m), jnp.float32),
+            pltpu.VMEM((r, m), jnp.float32),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(u.reshape(bsz, c, r2, m), dy.reshape(bsz, c, r2, m),
+      k.reshape(c, r2, m),
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
+      *vals)
+    return du.reshape(bsz, c, lp), dk.reshape(c, lp), dd[:, 0, 0]
+
+
+# ---------------------------------------------------------------------------
 # Batch-packed kernels: two real batch rows ride ONE complex transform.
 #
 # The conv is linear in u and the per-channel filter is shared across batch,
@@ -986,23 +1388,53 @@ def fftconv_fused_bwd_spec_packed(ur, ui, dy, k, D, r: int, m: int, cb: int,
 # per-kernel VMEM cap (_compiler_params) and runs 11.75 ms vs 26.0 ms on
 # the XLA chain — a 2.2x conv win for 64k-context training. 2^18's
 # spectrum-saving backward needs 106.7 MB of scoped VMEM at cb=8 — beyond
-# what fits alongside block buffers in the 128 MB core — so 2^18 is not
-# offered and routes to the XLA chain-FFT path.
-_CB_BY_N = {1 << 16: 8, 1 << 17: 8}
+# what fits alongside block buffers in the 128 MB core — so 2^18 runs the
+# SPLIT backward (fftconv_fused_bwd_du + fftconv_fused_dk_from_specs) and
+# requires the forward to save u's spectrum.
+_CB_BY_N = {1 << 16: 8, 1 << 17: 8, 1 << 18: 8}
+_SPLIT_BWD_MIN = 1 << 18
+
+
+def needs_split_bwd(n: int) -> bool:
+    """fft sizes whose backward runs as two kernels (du, then dk from the
+    saved u/dy spectra). These sizes are only planned when the forward can
+    save u's spectrum (the split has no u-transform path)."""
+    return n >= _SPLIT_BWD_MIN and n in _CB_BY_N
+
+
+# Single-channel plans (one channel per program, pure 2-D math, no
+# relayouts — see the narrow section below). Measured on v5e (B=1, C=256,
+# value_and_grad via scripts/bench_conv_narrow.py):
+#   2^19: fused 45.1 ms vs chain 100.4 ms (2.2x; fwd 19.8 vs 39.7) -> ON
+#   2^20: fused 122.4 ms vs chain 126.0 ms train but fwd 49.6 vs 44.0 —
+#         the chain's 3-factor FLOP scaling (n*(f1+f2+f3)) catches the
+#         2-factor kernel's n*(r+m) there, and remat re-runs the fwd twice
+#         per step -> OFF, chain is within 10% of our best fused kernel.
+# 2^21 (1M) follows the same FLOP argument one octave further -> OFF.
+_CB_BY_N_NARROW = {1 << 19: 1}
 
 
 def plan(n: int, c: int, seqlen: int, chain):
-    """(r, m, cb) if the fused kernel supports this conv, else None."""
-    if len(chain) != 2:
-        return None
-    r, m = chain
-    if r * m != n or r % 2:
-        return None
+    """(r, m, cb) if the fused kernel supports this conv, else None.
+    cb < 8 marks a narrow plan (4-D-block kernels, balanced 2-factor)."""
     cb = _CB_BY_N.get(n)
-    if cb is None:
+    if cb is not None:
+        if len(chain) != 2:
+            return None
+        r, m = chain
+        if r * m != n or r % 2:
+            return None
+        if c % cb or seqlen > (r // 2) * m:
+            # cb < 8 violates the Pallas (8, 128) block rule on the
+            # (1, cb, Lp) blocks; channel counts not divisible by 8 fall back
+            return None
+        return r, m, cb
+    cb = _CB_BY_N_NARROW.get(n)
+    if cb is None or c % cb:
         return None
-    if c % cb or seqlen > (r // 2) * m:
-        # cb < 8 violates the Pallas (8, 128) block rule on the (1, cb, Lp)
-        # input blocks; channel counts not divisible by 8 fall back
+    lg = n.bit_length() - 1
+    r = 1 << ((lg + 1) // 2)  # balanced 2-factor; r even
+    m = n // r
+    if seqlen > (r // 2) * m:
         return None
     return r, m, cb

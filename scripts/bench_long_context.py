@@ -9,6 +9,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
+
+# Must run before the backend initializes: without the raised scoped-vmem
+# budget the narrow (2^19) fused conv kernels pass their compile-time check
+# (per-kernel CompilerParams) but CRASH the TPU worker at runtime.
+ensure_tpu_flags()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +104,17 @@ if __name__ == "__main__":
         # 96 MB per-kernel VMEM cap; measured 2.2x over the XLA chain at
         # the conv level)
         run(65534, None, iters=8)
+    elif which == "128k":
+        # fft size 2^18: the SPLIT-backward fused conv (du kernel + dk-from-
+        # specs kernel; scripts/bench_conv_2e18.py measured 21.7 vs 32.3 ms
+        # per conv value_and_grad against the XLA chain at B=1, C=256)
+        run(131070, None, iters=8)
+    elif which == "256k":
+        # fft size 2^19: the single-channel narrow fused conv (2-D kernels;
+        # scripts/bench_conv_narrow.py measured 45.1 vs 100.4 ms per conv
+        # value_and_grad against the XLA chain at B=1, C=256). This is the
+        # medium-160k..256k model-zoo context range.
+        run(262142, None, iters=6)
     elif which == "1m":
         # single-chip 1M training: residual-only remat cells grouped by 2 +
         # 64 MB conv chunk budget (the combination that fits 15.75 GB HBM)

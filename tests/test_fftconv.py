@@ -562,3 +562,113 @@ def test_device_derived_budgets():
     finally:
         del os.environ["HYENA_MXU_FFT_BUDGET"]
         del os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"]
+
+
+def test_pallas_split_backward_parity():
+    """The split backward (du kernel writing dy's spectrum + dk-from-specs
+    kernel, the fft>=2^18 route) matches the rfft conv's gradients, in
+    interpret mode at a monkeypatched small size."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    PF = importlib.import_module("hyena_dna_tpu.ops.pallas_fftconv")
+    rng = np.random.default_rng(41)
+    u = jnp.asarray(rng.normal(size=(3, 4, 2048)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(4, 2048)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    loss = lambda *a: jnp.sum(F.fftconv(*a, False) ** 2)
+    ref_y = F.fftconv(u, k, D, False)
+    ref_g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+
+    import os
+
+    old = (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
+           PF._SPLIT_BWD_MIN, os.environ.get("HYENA_PALLAS_SAVE_SPEC_MAX"))
+    old_dot = (PF._DOT_DTYPE, PF._STORE_DTYPE)
+    F._use_mxu_fft = lambda n, rows=1: n >= 4096
+    F.MXU_SPECTRUM_DTYPE = None
+    F.PALLAS_FFTCONV_INTERPRET = True
+    PF._CB_BY_N[4096] = 2
+    PF._SPLIT_BWD_MIN = 4096
+    PF._DOT_DTYPE = PF._STORE_DTYPE = jnp.float32
+    try:
+        assert PF.needs_split_bwd(4096)
+        y = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=2e-3, rtol=1e-3)
+        g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+        for a, b, name in zip(g, ref_g, ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+
+        # without spectrum saving, split sizes must NOT take the fused path
+        # (the split backward has no u-transform) — the chain handles them
+        os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"] = "0"
+        y2 = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(ref_y),
+                                   atol=2e-3, rtol=1e-3)
+        g2 = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+        for a, b, name in zip(g2, ref_g, ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+    finally:
+        (F._use_mxu_fft, F.MXU_SPECTRUM_DTYPE, F.PALLAS_FFTCONV_INTERPRET,
+         PF._SPLIT_BWD_MIN, env) = old
+        if env is None:
+            os.environ.pop("HYENA_PALLAS_SAVE_SPEC_MAX", None)
+        else:
+            os.environ["HYENA_PALLAS_SAVE_SPEC_MAX"] = env
+        PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
+        PF._CB_BY_N.pop(4096, None)
+
+
+def test_pallas_narrow_cb_kernels_parity():
+    """The narrow-cb (4-D block) kernels — the fft>=2^19 route — match the
+    rfft conv in forward and all gradients, interpret mode at a small size."""
+    import importlib
+
+    import jax
+
+    F = importlib.import_module("hyena_dna_tpu.ops.fftconv")
+    PF = importlib.import_module("hyena_dna_tpu.ops.pallas_fftconv")
+    rng = np.random.default_rng(53)
+    u = jnp.asarray(rng.normal(size=(3, 4, 4096)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(4, 4096)) * 0.05).astype(np.float32))
+    D = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    loss = lambda *a: jnp.sum(F.fftconv(*a, False) ** 2)
+    ref_y = F.fftconv(u, k, D, False)
+    ref_g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+
+    old = (F.PALLAS_FFTCONV_INTERPRET,)
+    old_dot = (PF._DOT_DTYPE, PF._STORE_DTYPE)
+    F.PALLAS_FFTCONV_INTERPRET = True
+    PF._CB_BY_N_NARROW[8192] = 2
+    PF._DOT_DTYPE = PF._STORE_DTYPE = jnp.float32
+    try:
+        plan = F._pallas_conv_plan(u, k, 8192, False)
+        assert plan is not None and plan[2] == 2, plan
+        r, m, cb = plan
+        assert r * m == 8192 and r % 2 == 0
+        y = F.fftconv(u, k, D, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref_y),
+                                   atol=2e-3, rtol=1e-3)
+        g = jax.grad(loss, argnums=(0, 1, 2))(u, k, D)
+        for a, b, name in zip(g, ref_g, ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+        # cb=1 (the 2^20 configuration) and odd channel counts
+        PF._CB_BY_N_NARROW[8192] = 1
+        y1 = F.fftconv(u[:, :3], k[:3], D[:3], False)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(ref_y[:, :3]),
+                                   atol=2e-3, rtol=1e-3)
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(u[:, :3], k[:3], D[:3])
+        for a, b, name in zip(g1, (ref_g[0][:, :3], ref_g[1][:3], ref_g[2][:3]),
+                              ("du", "dk", "dD")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-2, rtol=5e-3, err_msg=name)
+    finally:
+        (F.PALLAS_FFTCONV_INTERPRET,) = old
+        PF._DOT_DTYPE, PF._STORE_DTYPE = old_dot
+        PF._CB_BY_N_NARROW.pop(8192, None)
