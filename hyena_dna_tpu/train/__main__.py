@@ -13,8 +13,6 @@ from pathlib import Path
 
 from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
 
-ensure_tpu_flags()  # before TPU backend init: Pallas scoped-vmem budget
-
 from hyena_dna_tpu.train.trainer import Trainer
 
 def _enable_compile_cache():
@@ -72,8 +70,22 @@ def build_config(argv):
     return process_config(cfg)
 
 
+def _config_max_seq(cfg) -> int:
+    """Largest context the run will see, for the scoped-vmem decision."""
+    ds = cfg.get("dataset", {}) or {}
+    vals = [ds.get(k) or 0 for k in
+            ("max_length", "max_length_val", "max_length_test")]
+    l_max = ((cfg.get("model", {}) or {}).get("layer", {}) or {}).get("l_max")
+    vals.append(l_max or 0)
+    return max([v for v in vals if isinstance(v, (int, float))] or [0])
+
+
 def main(argv=None):
     cfg = build_config(argv if argv is not None else sys.argv[1:])
+    # before the TPU backend initializes: raise the Pallas scoped-vmem
+    # budget — except for chain-conv contexts (fft >= 2^20) where the
+    # default budget measures ~15% faster (see utils/tpu_flags.py)
+    ensure_tpu_flags(max_seq_len=int(_config_max_seq(cfg)))
     trainer = Trainer(cfg)
     return trainer.fit()
 

@@ -17,13 +17,29 @@ import os
 
 SCOPED_VMEM_KIB = 65536  # 64 MB of the v5e's 128 MB VMEM
 
+# Above this context length the convs run at fft >= 2^20, where every
+# fused Pallas conv is measured-and-gated-off (the XLA chain wins on
+# 3-factor FLOP scaling) — and the raised scoped-vmem budget makes the
+# CHAIN ~15% slower (450k step 1.447 -> 1.667 s with the 64 MB flag:
+# libtpu picks worse fusion/scheduling with a larger scoped region). So
+# long-context entry points should pass max_seq_len and let the default
+# budget stand.
+SCOPED_VMEM_MAX_SEQ = 262144
 
-def ensure_tpu_flags(scoped_vmem_kib: int = SCOPED_VMEM_KIB) -> None:
+
+def ensure_tpu_flags(scoped_vmem_kib: int = SCOPED_VMEM_KIB,
+                     max_seq_len: int | None = None) -> None:
     """Append TPU runtime flags to LIBTPU_INIT_ARGS if not already present.
 
     Idempotent; preserves any flags the launcher already set. Must run
     before jax initializes its backend (harmless, but ineffective, after).
+
+    With `max_seq_len` above SCOPED_VMEM_MAX_SEQ the scoped-vmem raise is
+    skipped: those runs use the XLA chain conv (no Pallas conv kernel needs
+    the budget) and measure ~15% faster under the default budget.
     """
+    if max_seq_len is not None and max_seq_len > SCOPED_VMEM_MAX_SEQ:
+        return
     flag = f"--xla_tpu_scoped_vmem_limit_kib={scoped_vmem_kib}"
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
     if "--xla_tpu_scoped_vmem_limit_kib" not in cur:

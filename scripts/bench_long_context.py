@@ -13,8 +13,14 @@ from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
 
 # Must run before the backend initializes: without the raised scoped-vmem
 # budget the narrow (2^19) fused conv kernels pass their compile-time check
-# (per-kernel CompilerParams) but CRASH the TPU worker at runtime.
-ensure_tpu_flags()
+# (per-kernel CompilerParams) but CRASH the TPU worker at runtime. The
+# 450k/1m modes (fft >= 2^20, chain conv) keep the DEFAULT budget — the
+# raised one makes the chain ~15% slower (1.447 -> 1.667 s/step at 450k).
+_MODE_SEQ = {"450k": 450048, "1m": 1000448, "1m_fwd": 1000448,
+             "1m_remat": 1000448, "64k": 65534, "128k": 131070,
+             "256k": 262142}
+ensure_tpu_flags(max_seq_len=_MODE_SEQ.get(
+    sys.argv[1] if len(sys.argv) > 1 else "450k", 65534))
 
 import jax
 import jax.numpy as jnp
