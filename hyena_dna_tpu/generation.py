@@ -79,7 +79,12 @@ def make_generate_fn(
             )
             return buf, rng
 
-        buf, _ = jax.lax.fori_loop(1, max_length, body, (buf, rng))
+        # start at the first position to fill: positions < prompt_len are
+        # prompt (the body would keep them unchanged — iterating them would
+        # burn one full forward per PROMPT token, O(L_total) wasted
+        # forwards). Traced lower bound lowers to a while_loop.
+        start = jnp.maximum(jnp.asarray(prompt_len, jnp.int32), 1)
+        buf, _ = jax.lax.fori_loop(start, max_length, body, (buf, rng))
         return buf
 
     return generate

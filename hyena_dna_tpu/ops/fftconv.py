@@ -694,7 +694,9 @@ def fftconv_chunked(
         return fftconv(u, k, D, gelu)
     n = c // block
     u_c = jnp.moveaxis(u.reshape(b, n, block, l), 1, 0)  # (n, B, blk, L)
-    k_c = k.reshape(n, block, l)
+    # the filter may be SHORTER than the sequence (l > l_max generation /
+    # ICL: only the filter is truncated) — chunk it at its own length
+    k_c = k.reshape(n, block, k.shape[-1])
     D_c = jnp.asarray(D).reshape(n, block)
 
     def body(_, inp):

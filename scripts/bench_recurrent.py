@@ -155,13 +155,18 @@ def run_speed():
         float(jnp.sum(out))
         dt_rec = time.perf_counter() - t0
 
-        # fixed-buffer re-forward loop (the only mode the reference has)
-        out = parallel_generate(model, params, prompt, new_tokens)
+        # fixed-buffer re-forward loop (the only mode the reference has).
+        # At long prompts 256 re-forward tokens is a single multi-minute
+        # device dispatch, which the tunneled worker kills — measure fewer
+        # tokens there and report per-token rates (the loop's per-token
+        # cost is constant: every step re-runs the full forward).
+        par_tokens = new_tokens if prompt_len <= 8192 else 32
+        out = parallel_generate(model, params, prompt, par_tokens)
         float(jnp.sum(out))
         t0 = time.perf_counter()
-        out = parallel_generate(model, params, prompt, new_tokens)
+        out = parallel_generate(model, params, prompt, par_tokens)
         float(jnp.sum(out))
-        dt_par = time.perf_counter() - t0
+        dt_par = (time.perf_counter() - t0) * (new_tokens / par_tokens)
 
         results[prompt_len] = {
             "new_tokens": new_tokens,
