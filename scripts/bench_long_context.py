@@ -3,6 +3,7 @@
 Run detached (compiles take >10 min):
   nohup python scripts/bench_long_context.py > /tmp/bench_long.log 2>&1 &
 """
+import os
 import sys
 import time
 from pathlib import Path
@@ -42,11 +43,15 @@ def run(L, pallas, iters=5, inner_remat=False, rro=False, group=1,
         import hyena_dna_tpu.ops.fftconv  # noqa: F401
         sys.modules["hyena_dna_tpu.ops.fftconv"].FFTCONV_CHUNK_BUDGET = chunk_budget
     d, nl, B = 256, 8, 1
+    # bf16 residual stream is the bench default since round 3 (drift study in
+    # STATUS.md round-3); BENCH_RESIDUAL_F32=1 restores the reference-parity
+    # f32 stream, matching bench.py's knob.
+    resid_f32 = os.environ.get("BENCH_RESIDUAL_F32", "0") == "1"
     layer = dict(_name_="hyena", emb_dim=5, filter_order=64, short_filter_order=3,
                  l_max=L + 2, modulate=True, w=10, use_pallas_front=pallas,
                  inner_remat=inner_remat)
     model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
-                            pad_vocab_size_multiple=8, residual_in_fp32=True,
+                            pad_vocab_size_multiple=8, residual_in_fp32=resid_f32,
                             layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
                             remat_residual_only=rro, remat_group_size=group,
                             dtype=jnp.bfloat16)
