@@ -1,47 +1,58 @@
-"""Pallas TPU kernel: single-channel 3-factor fused FFT conv (fft 2^20/2^21).
+"""Pallas TPU kernel: outer-radix fused FFT conv for fft 2^20/2^21.
 
-The single-channel 2-factor kernel (`pallas_fftconv.py`, narrow section)
-wins 2.2x over the XLA chain at fft 2^19 but only ties it at 2^20: the XLA
-chain switches to a 3-factor decomposition there (f1/2+f2+f3 = ~320
-MACs/point vs the balanced 2-factor's r/2+m = 1536), so the kernel's VMEM
-locality is cancelled by a ~5x MXU FLOP handicap. The cb-blocked 3-pass
-kernel (`pallas_fftconv3.py`) showed the fused 3-factor math is correct but
-lost to Mosaic's lowering of its (f2, f1*cb*f3) relayouts and its compile
-blew up at 2^20+.
+The 450k/1M contexts (the reference's headline regime) need fft sizes
+2^20/2^21, where the single-channel 2-factor kernel's dense (r, m)
+matrices make it only tie the XLA chain (n*(r+m) MXU MACs vs the chain's
+n*(f1+f2+f3)), and a balanced in-VMEM 3-factor kernel dies on Mosaic's
+lowering of the middle (f1, f2, f3) <-> (f2, f1, f3) relayout — measured
+on v5e at n=2^20: chain fwd 37.1 ms, balanced fused-3 with jnp.transpose
+45.8 ms AND miscompiled (rel err 1.13 on-chip vs 2e-3 in interpret), a
+skip-transpose cost probe 30.9 ms, i.e. the relayout eats the entire win.
 
-This kernel re-does the 3-factor experiment in the single-channel (cb=1)
-form that made 2^19 fast: every operand is a plain 2-D (sublane, lane)
-array, every view is a free minor-dim split/merge, and the ONE unavoidable
-middle transpose (f1, f2, f3) <-> (f2, f1, f3) is isolated and strategy-
-switchable (_TRANSPOSE = "jnp" | "loop") so its lowering cost can be
-measured directly.
+This kernel removes the transpose from the algorithm instead of lowering
+it better. Decompose n = n1 * (r * m) with a SMALL outer radix n1 (16):
 
-Math (chain (f1, f2, f3), n = f1*f2*f3, m = f2*f3, h = f1/2; causal
-zero-padding => time rows a >= h are zero; mirrors
-`ops/fftconv.py::_fft_chain_ri`):
+  time index t = a1*(r*m) + b*m + c  ->  ref layout (a1*r + b, c):
+    rows are (a1, b), lanes are c; the (B, C, L) -> (B, C, h1*r, m)
+    reshape is free in HBM.
 
-  forward, input x (h, m) real:
-    P1: F_f1[:, :h] @ x                   -> (f1, m)   [2 real matmuls]
-    TW1: * W_n^{p1 s}                     (tables (f1, m) = n elements)
-    T:  (f1, f2, f3) -> (f2, f1, f3)      [the relayout]
-    P2: F_f2 @ (f2, f1*f3)                [3-matmul Karatsuba]
-    TW2: * W_m^{p2 c}  via (f2, f1, f3) * (f2, 1, f3)-bcast... see code
-    P3: (f2*f1, f3) @ F_f3                [3-matmul Karatsuba]
-    spectrum layout (p2, p1, q3) — internal only: filter spectrum,
-    bin-multiply and the inverse all share it.
+  stage 1 (contract a1, the OUTER row-block digit): for each output
+    digit q1, G[q1] = sum_a1 W_n1^{a1 q1} * x[a1-block]. n1 is a
+    compile-time constant, so this is an unrolled chain of scalar*block
+    multiply-adds on the VPU — coefficients are Python floats baked into
+    the program, zero-coefficient terms elided. No matmul, no relayout.
 
-  inverse mirrors with conjugated/normalized matrices; the real-output
-  last pass is 2 matmuls and emits only the first h time rows.
+  twiddle T1[q1, s] = W_n^{q1 s} — elementwise, table precomputed in the
+    same (n1*r, m) layout.
 
-Replaces the reference's long-context conv path, which has no fused kernel
-at these sizes (its CUDA fftconv caps at fft_size 16384,
-`/root/reference/csrc/fftconv/fftconv.cpp:114-115`; beyond that it runs
-eager torch.fft).
+  stage 2: n1 independent complex 2-factor sub-FFTs of size r*m, one per
+    q1 row-block — each is the proven pure-2-D pipeline of the narrow
+    kernel (left-matmul contract b on sublanes, twiddle, right-matmul
+    contract c on lanes; complex Karatsuba = 3 real matmuls per pass).
+
+  The spectrum layout (q1, beta, gamma) is internal: the filter spectrum,
+  the bin multiply, and the inverse all share it. The inverse mirrors the
+  pipeline with conjugated/normalized matrices, and its final stage-1
+  emits only the first h1 = n1/2 row blocks (causal zero padding means
+  input blocks a1 >= h1 are zero and output is only needed there too).
+
+Per-point MXU cost ~ 3*(r+m) complex-Karatsuba MACs (1536 at 2^20 with
+r=m=256) vs the direct 2-factor's 3*(1024+1024); stage 1 adds n1 VPU
+MACs/point. The whole conv (both transforms, bin multiply, inverse,
+D-skip) runs in one kernel: one HBM round trip vs the chain's ~6.
+
+Replaces the reference's long-context conv path, which has no fused
+kernel at these sizes (its CUDA fftconv caps at fft_size 16384,
+/root/reference/csrc/fftconv/fftconv.cpp:114-115; beyond that it runs
+eager torch.fft). Backward mirrors ops/pallas_fftconv.py's narrow
+backward: recompute both transforms in-kernel, accumulate the filter
+gradient's spectrum in f32 scratch across the batch grid, Parseval dD.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -51,12 +62,25 @@ from jax.experimental.pallas import tpu as pltpu
 _DOT_DTYPE = jnp.bfloat16
 _STORE_DTYPE = jnp.bfloat16
 
-# middle-transpose lowering strategy: "jnp" = jnp.transpose (Mosaic native
-# relayout), "loop" = fori_loop of strided row-slice copies via scratch.
-_TRANSPOSE = "jnp"
-
 _COMPILER_PARAMS = pltpu.CompilerParams(
     vmem_limit_bytes=110 * 1024 * 1024)
+
+# n -> (n1, r, m). Gated by ops/fftconv.py's dispatch (plan_outer).
+_OUTER_BY_N = {
+    1 << 20: (16, 256, 256),
+    1 << 21: (16, 512, 256),
+}
+
+
+def plan_outer(n: int, c: int, seqlen: int):
+    """(n1, r, m) if the outer-radix fused kernel covers this conv."""
+    spec = _OUTER_BY_N.get(n)
+    if spec is None:
+        return None
+    n1, r, m = spec
+    if seqlen > (n1 // 2) * r * m:
+        return None
+    return spec
 
 
 def _mm(a, b):
@@ -68,7 +92,7 @@ def _mm(a, b):
 
 
 def _kara_l(br, bi, bs, ar, ai):
-    """(B @ A) for complex A (ar, ai), constant complex B; 3 matmuls."""
+    """B @ A, complex A, constant complex B (bs = br + bi); 3 matmuls."""
     t1 = _mm(br[:], ar)
     t2 = _mm(bi[:], ai)
     t3 = _mm(bs[:], ar + ai)
@@ -76,199 +100,430 @@ def _kara_l(br, bi, bs, ar, ai):
 
 
 def _kara_r(ar, ai, br, bi, bs):
-    """(A @ B) for complex A, constant complex B; 3 matmuls."""
+    """A @ B, complex A, constant complex B; 3 matmuls."""
     t1 = _mm(ar, br[:])
     t2 = _mm(ai, bi[:])
     t3 = _mm(ar + ai, bs[:])
     return t1 - t2, t3 - t1 - t2
 
 
-def _consts3(f1: int, f2: int, f3: int):
-    import numpy as np
+def _stage1_coefs(n1: int):
+    """Python-float coefficient tables for the outer radix.
 
-    n = f1 * f2 * f3
-    m = f2 * f3
-    h = f1 // 2
+    fwd[q1][a1] = W_n1^{a1 q1} (complex, as (re, im) pair);
+    inv[a1][q1] = W_n1^{-a1 q1} / n1.
+    """
+    fwd = [[(math.cos(2 * math.pi * a1 * q1 / n1),
+             -math.sin(2 * math.pi * a1 * q1 / n1))
+            for a1 in range(n1 // 2)] for q1 in range(n1)]
+    inv = [[(math.cos(2 * math.pi * a1 * q1 / n1) / n1,
+             math.sin(2 * math.pi * a1 * q1 / n1) / n1)
+            for q1 in range(n1)] for a1 in range(n1 // 2)]
+    return fwd, inv
+
+
+def _consts_outer(n1: int, r: int, m: int):
+    """DFT matrices + twiddle tables, built with jnp ops (NOT numpy
+    literals: a (n1*r, m) table inlined as an HLO constant puts megabytes
+    into the serialized module — enough to break remote-compile payload
+    limits — whereas the iota+cos graph is a few ops that XLA folds)."""
+    n = n1 * r * m
+    npts = r * m
+    f32 = jnp.float32
+
+    def outer_angle(period, rows, cols):
+        # digit products are exact f32 integers (< 2^24 for every planned
+        # size); reduce mod the period BEFORE scaling so cos/sin arguments
+        # stay in [0, 2*pi) — f32 cos at thousands of radians drifts ~1e-4
+        ri = jax.lax.broadcasted_iota(f32, (rows, cols), 0)
+        ci = jax.lax.broadcasted_iota(f32, (rows, cols), 1)
+        return (-2.0 * math.pi / period) * jnp.mod(ri * ci, period)
 
     def dft(k):
-        a = np.arange(k)
-        ang = -2.0 * np.pi / k * (a[:, None] * a[None, :])
-        return np.cos(ang), np.sin(ang)
+        ang = outer_angle(k, k, k)
+        return jnp.cos(ang), jnp.sin(ang)
 
-    f1r, f1i = dft(f1)
-    f2r, f2i = dft(f2)
-    f3r, f3i = dft(f3)
-    a1 = np.arange(f1)
-    s1 = np.arange(m)
-    ang1 = -2.0 * np.pi / n * (a1[:, None] * s1[None, :])
-    a2 = np.arange(f2)
-    s2 = np.arange(f3)
-    ang2 = -2.0 * np.pi / m * (a2[:, None] * s2[None, :])
-    consts = dict(
-        # forward pass matrices
-        p1r=f1r[:, :h], p1i=f1i[:, :h],                     # (f1, h)
-        p2r=f2r, p2i=f2i, p2s=f2r + f2i,                     # (f2, f2)
-        p3r=f3r, p3i=f3i, p3s=f3r + f3i,                     # (f3, f3)
-        # twiddles (forward; inverse uses sign flips in-kernel)
-        t1r=np.cos(ang1), t1i=np.sin(ang1),                  # (f1, m)
-        t2r=np.cos(ang2), t2i=np.sin(ang2),                  # (f2, f3)
-        # inverse pass matrices (conjugated, normalized)
-        q3r=f3r / f3, q3i=-f3i / f3, q3s=(f3r - f3i) / f3,
-        q2r=f2r / f2, q2i=-f2i / f2, q2s=(f2r - f2i) / f2,
-        q1r=f1r[:h, :] / f1, q1i=-f1i[:h, :] / f1,           # (h, f1)
+    frr, fri = dft(r)
+    fmr, fmi = dft(m)
+    # sub twiddle W_{rm}^{beta c}: (r, m)
+    ang = outer_angle(npts, r, m)
+    twr, twi = jnp.cos(ang), jnp.sin(ang)
+    # outer twiddle W_n^{q1 s} in (n1*r, m) layout: row = q1*r + b, col = c
+    q1 = jax.lax.broadcasted_iota(f32, (n1, r, m), 0)
+    s = (jax.lax.broadcasted_iota(f32, (n1, r, m), 1) * m
+         + jax.lax.broadcasted_iota(f32, (n1, r, m), 2))
+    ang1 = (-2.0 * math.pi / n) * jnp.mod(q1 * s, float(n))
+    out = dict(
+        frr=frr, fri=fri, frs=frr + fri,
+        fmr=fmr, fmi=fmi, fms=fmr + fmi,
+        twr=twr, twi=twi,
+        # inverse matrices (conjugated, normalized)
+        qrr=frr / r, qri=-fri / r, qrs=(frr - fri) / r,
+        qmr=fmr / m, qmi=-fmi / m, qms=(fmr - fmi) / m,
+        # big tables ride as bf16 (the kernel computes in bf16 anyway)
+        t1r=jnp.cos(ang1).reshape(n1 * r, m).astype(_STORE_DTYPE),
+        t1i=jnp.sin(ang1).reshape(n1 * r, m).astype(_STORE_DTYPE),
     )
-    return {k: jnp.asarray(v, jnp.float32) for k, v in consts.items()}
+    return out
 
 
-_CONST_KEYS3 = ("p1r", "p1i", "p2r", "p2i", "p2s", "p3r", "p3i", "p3s",
-                "t1r", "t1i", "t2r", "t2i",
-                "q3r", "q3i", "q3s", "q2r", "q2i", "q2s", "q1r", "q1i")
+_CONST_KEYS = ("frr", "fri", "frs", "fmr", "fmi", "fms", "twr", "twi",
+               "qrr", "qri", "qrs", "qmr", "qmi", "qms", "t1r", "t1i")
 
 
-def _swap01(x, d0, d1, d2, ta, tb):
-    """(d0, d1, d2) -> (d1, d0, d2) axis swap; ta/tb are (d0*d1, d2) scratch
-    refs used by the "loop" strategy (ignored by "jnp")."""
-    if _TRANSPOSE == "skip":  # cost probe: WRONG math, same op mix
-        return x.reshape(d1 * d0, d2)
-    if _TRANSPOSE == "jnp":
-        return jnp.transpose(x.reshape(d0, d1, d2), (1, 0, 2)).reshape(
-            d1 * d0, d2)
-    ta[:] = x.reshape(d0 * d1, d2)
-    src = ta  # viewed (d0, d1, d2) via index arithmetic
-
-    def body(j, _):
-        # rows (a, j) for a in [d0)  ->  dst rows [j*d0, (j+1)*d0)
-        blk = src[:].reshape(d0, d1, d2)[:, j, :]
-        tb[pl.ds(j * d0, d0), :] = blk
-        return 0
-
-    jax.lax.fori_loop(0, d1, body, 0)
-    return tb[:]
+def _stage1_block(x_blocks, coefs, q1):
+    """sum_a1 coef[a1] * x_blocks[a1] -> (re, im) f32 pair (or (re, None)
+    when every imaginary coefficient is zero)."""
+    accr = None
+    acci = None
+    for a1, xb in enumerate(x_blocks):
+        cr, ci = coefs[q1][a1]
+        if abs(cr) > 1e-12:
+            term = xb if cr == 1.0 else (-xb if cr == -1.0 else xb * cr)
+            accr = term if accr is None else accr + term
+        if abs(ci) > 1e-12:
+            term = xb if ci == 1.0 else (-xb if ci == -1.0 else xb * ci)
+            acci = term if acci is None else acci + term
+    if accr is None:
+        accr = jnp.zeros_like(x_blocks[0])
+    return accr, acci
 
 
-def _fwd3(x, f1, f2, f3, C, ta, tb):
-    """(h, m) real -> spectrum pair, each (f2*f1, f3), layout (p2, p1, q3)."""
+def _fwd_block(x_blocks, coefs, q1, r, C):
+    """One q1 row-block of the forward transform: stage-1 combo + outer
+    twiddle + complex 2-factor sub-FFT. Returns spectrum pair (r, m)."""
     st = _STORE_DTYPE
-    m = f2 * f3
-    x = x.astype(st)
-    gr = _mm(C["p1r"][:], x)  # (f1, m)
-    gi = _mm(C["p1i"][:], x)
-    t1r = C["t1r"][:].astype(st)
-    t1i = C["t1i"][:].astype(st)
-    gr, gi = gr * t1r - gi * t1i, gr * t1i + gi * t1r
-    # the middle transpose: (f1, f2, f3) -> (f2, f1, f3)
-    gr = _swap01(gr, f1, f2, f3, ta, tb)
-    gi = _swap01(gi, f1, f2, f3, ta, tb)
-    # P2 over rows (f2, f1*f3)
-    hr, hi = _kara_l(C["p2r"], C["p2i"], C["p2s"],
-                     gr.reshape(f2, f1 * f3), gi.reshape(f2, f1 * f3))
-    # TW2: depends on (p2, c) = (row, minor col digit)
-    t2r = C["t2r"][:].astype(st)[:, None, :]  # (f2, 1, f3)
-    t2i = C["t2i"][:].astype(st)[:, None, :]
-    h3r = hr.reshape(f2, f1, f3)
-    h3i = hi.reshape(f2, f1, f3)
-    h3r, h3i = h3r * t2r - h3i * t2i, h3r * t2i + h3i * t2r
-    # P3 over cols (f2*f1, f3)
-    zr, zi = _kara_r(h3r.reshape(f2 * f1, f3), h3i.reshape(f2 * f1, f3),
-                     C["p3r"], C["p3i"], C["p3s"])
-    return zr, zi
+    gr, gi = _stage1_block(x_blocks, coefs, q1)
+    if q1 == 0:
+        # W^0 twiddle is identity and the imag part is exactly zero:
+        # real-input sub-FFT, 2 matmuls in pass A.
+        gr = gr.astype(st)
+        ar = _mm(C["frr"][:], gr)
+        ai = _mm(C["fri"][:], gr)
+    else:
+        t1r = C["t1r"][q1 * r:(q1 + 1) * r, :]
+        t1i = C["t1i"][q1 * r:(q1 + 1) * r, :]
+        gr = gr.astype(st)
+        gi = (jnp.zeros_like(gr) if gi is None else gi.astype(st))
+        gr, gi = gr * t1r - gi * t1i, gr * t1i + gi * t1r
+        ar, ai = _kara_l(C["frr"], C["fri"], C["frs"], gr, gi)
+    twr = C["twr"][:].astype(st)
+    twi = C["twi"][:].astype(st)
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    return _kara_r(ar, ai, C["fmr"], C["fmi"], C["fms"])
 
 
-def _inv3_real(wr, wi, f1, f2, f3, C, ta, tb):
-    """(f2*f1, f3) product pair -> (h, m) natural-order real output."""
+def _inv_block(wr, wi, q1, r, C):
+    """One q1 row-block of the inverse: sub-IFFT + conj outer twiddle.
+    Returns the H block pair (r, m) feeding the final stage-1 combo."""
     st = _STORE_DTYPE
-    h = f1 // 2
-    m = f2 * f3
-    ar, ai = _kara_r(wr, wi, C["q3r"], C["q3i"], C["q3s"])
-    t2r = C["t2r"][:].astype(st)[:, None, :]
-    t2i = C["t2i"][:].astype(st)[:, None, :]
-    a3r = ar.reshape(f2, f1, f3)
-    a3i = ai.reshape(f2, f1, f3)
-    a3r, a3i = a3r * t2r + a3i * t2i, a3i * t2r - a3r * t2i  # conj tw2
-    br, bi = _kara_l(C["q2r"], C["q2i"], C["q2s"],
-                     a3r.reshape(f2, f1 * f3), a3i.reshape(f2, f1 * f3))
-    # transpose back: (f2, f1, f3) -> (f1, f2, f3)
-    br = _swap01(br, f2, f1, f3, ta, tb)
-    bi = _swap01(bi, f2, f1, f3, ta, tb)
-    t1r = C["t1r"][:].astype(st)
-    t1i = C["t1i"][:].astype(st)
-    br = br.reshape(f1, m)
-    bi = bi.reshape(f1, m)
-    br, bi = br * t1r + bi * t1i, bi * t1r - br * t1i  # conj tw1
-    return _mm(C["q1r"][:], br) - _mm(C["q1i"][:], bi)  # (h, m) real
+    ar, ai = _kara_r(wr, wi, C["qmr"], C["qmi"], C["qms"])
+    twr = C["twr"][:].astype(st)
+    twi = C["twi"][:].astype(st)
+    ar, ai = ar * twr + ai * twi, ai * twr - ar * twi  # conj sub twiddle
+    hr, hi = _kara_l(C["qrr"], C["qri"], C["qrs"], ar, ai)
+    if q1:
+        t1r = C["t1r"][q1 * r:(q1 + 1) * r, :]
+        t1i = C["t1i"][q1 * r:(q1 + 1) * r, :]
+        hr, hi = hr * t1r + hi * t1i, hi * t1r - hr * t1i  # conj outer
+    return hr, hi
 
 
-def _conv3_kernel(u_ref, k_ref, d_ref, *refs,
-                  f1: int, f2: int, f3: int, use_scratch_tr: bool):
-    nc = len(_CONST_KEYS3)
-    consts = dict(zip(_CONST_KEYS3, refs[:nc]))
+def _read_blocks(ref, h1, r):
+    return [ref[a1 * r:(a1 + 1) * r, :] for a1 in range(h1)]
+
+
+def _stage1_inverse_emit(hr_blocks, hi_blocks, inv_coefs, u_blocks, d_ref,
+                         y_ref, h1, r, n1):
+    """Final combo: y[a1] = sum_q1 (Hr*cos - Hi*sin)/n1 + u*D, per block."""
+    for a1 in range(h1):
+        acc = None
+        for q1 in range(n1):
+            cr, ci = inv_coefs[a1][q1]
+            if abs(cr) > 1e-12:
+                t = hr_blocks[q1] if cr == 1.0 else hr_blocks[q1] * cr
+                acc = t if acc is None else acc + t
+            if abs(ci) > 1e-12:
+                t = hi_blocks[q1] if ci == 1.0 else hi_blocks[q1] * ci
+                acc = -t if acc is None else acc - t
+        y = acc + u_blocks[a1] * d_ref[0, :, :1]
+        y_ref[0, 0, a1 * r:(a1 + 1) * r, :] = y.astype(y_ref.dtype)
+
+
+def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
+                       n1: int, r: int, m: int):
+    nc = len(_CONST_KEYS)
+    C = dict(zip(_CONST_KEYS, refs[:nc]))
     y_ref, ksr_ref, ksi_ref = refs[nc], refs[nc + 1], refs[nc + 2]
-    ta = refs[nc + 3] if use_scratch_tr else None
-    tb = refs[nc + 4] if use_scratch_tr else None
     st = _STORE_DTYPE
+    h1 = n1 // 2
+    fwd_c, inv_c = _stage1_coefs(n1)
     bi = pl.program_id(1)
 
     @pl.when(bi == 0)
     def _():
-        kr0, ki0 = _fwd3(k_ref[0], f1, f2, f3, consts, ta, tb)
-        ksr_ref[:] = kr0
-        ksi_ref[:] = ki0
+        kb = _read_blocks(k_ref[0], h1, r)
+        kb = [x.astype(jnp.float32) for x in kb]
+        for q1 in range(n1):
+            zr, zi = _fwd_block(kb, fwd_c, q1, r, C)
+            ksr_ref[q1 * r:(q1 + 1) * r, :] = zr
+            ksi_ref[q1 * r:(q1 + 1) * r, :] = zi
 
-    u = u_ref[0, 0]  # (h, m)
-    zr, zi = _fwd3(u, f1, f2, f3, consts, ta, tb)
-    kr = ksr_ref[:].astype(st)
-    ki = ksi_ref[:].astype(st)
-    y = _inv3_real(zr * kr - zi * ki, zr * ki + zi * kr,
-                   f1, f2, f3, consts, ta, tb)
-    y = y.astype(jnp.float32) + u.astype(jnp.float32) * d_ref[0, :, :1]
-    y_ref[0, 0] = y.astype(y_ref.dtype)
+    ub = _read_blocks(u_ref[0, 0], h1, r)
+    ub_f32 = [x.astype(jnp.float32) for x in ub]
+    hr_blocks = []
+    hi_blocks = []
+    for q1 in range(n1):
+        zr, zi = _fwd_block(ub_f32, fwd_c, q1, r, C)
+        kr = ksr_ref[q1 * r:(q1 + 1) * r, :].astype(st)
+        ki = ksi_ref[q1 * r:(q1 + 1) * r, :].astype(st)
+        hr, hi = _inv_block(zr * kr - zi * ki, zr * ki + zi * kr, q1, r, C)
+        hr_blocks.append(hr.astype(jnp.float32))
+        hi_blocks.append(hi.astype(jnp.float32))
+    _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, ub_f32, d_ref,
+                         y_ref, h1, r, n1)
 
 
-def fftconv3n_fwd(u, k, D, f1: int, f2: int, f3: int,
-                  interpret: bool = False):
-    """Forward: u (B, C, Lp) -> y (B, C, Lp), Lp = (f1//2)*f2*f3."""
+def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
+                      interpret: bool = False):
+    """Forward: u (B, C, Lp) -> y (B, C, Lp), Lp = (n1//2)*r*m."""
     bsz, c, lp = u.shape
-    h = f1 // 2
-    m = f2 * f3
-    assert lp == h * m and k.shape == (c, lp)
-    consts = _consts3(f1, f2, f3)
-    vals = [consts[key] for key in _CONST_KEYS3]
+    h1 = n1 // 2
+    assert lp == h1 * r * m and k.shape == (c, lp)
+    consts = _consts_outer(n1, r, m)
+    vals = [consts[key] for key in _CONST_KEYS]
     const_specs = [
         pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
                      memory_space=pltpu.VMEM)
         for v in vals
     ]
-    use_tr = _TRANSPOSE == "loop"
-    kernel = functools.partial(_conv3_kernel, f1=f1, f2=f2, f3=f3,
-                               use_scratch_tr=use_tr)
-    io_spec = pl.BlockSpec((1, 1, h, m), lambda ci, bi: (bi, ci, 0, 0),
+    kernel = functools.partial(_conv_kernel_outer, n1=n1, r=r, m=m)
+    io_spec = pl.BlockSpec((1, 1, h1 * r, m), lambda ci, bi: (bi, ci, 0, 0),
                            memory_space=pltpu.VMEM)
-    scratch = [
-        pltpu.VMEM((f2 * f1, f3), _STORE_DTYPE),
-        pltpu.VMEM((f2 * f1, f3), _STORE_DTYPE),
-    ]
-    if use_tr:
-        scratch += [
-            pltpu.VMEM((f1 * f2, f3), _STORE_DTYPE),
-            pltpu.VMEM((f1 * f2, f3), _STORE_DTYPE),
-        ]
     y = pl.pallas_call(
         kernel,
         grid=(c, bsz),
         in_specs=[
             io_spec,
-            pl.BlockSpec((1, h, m), lambda ci, bi: (ci, 0, 0),
+            pl.BlockSpec((1, h1 * r, m), lambda ci, bi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
                          memory_space=pltpu.VMEM),
             *const_specs,
         ],
         out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, c, h, m), u.dtype),
-        scratch_shapes=scratch,
+        out_shape=jax.ShapeDtypeStruct((bsz, c, h1 * r, m), u.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+        ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(u.reshape(bsz, c, h, m), k.reshape(c, h, m),
+    )(u.reshape(bsz, c, h1 * r, m), k.reshape(c, h1 * r, m),
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
       *vals)
     return y.reshape(bsz, c, lp)
+
+
+def _fwd_block_dyn(x_ref, c1r, c1i, q1, h1, r, C, sub=(0, 0)):
+    """Forward transform block for a DYNAMIC q1 (fori_loop body): stage-1
+    coefficients come from SMEM, the outer twiddle is always applied (its
+    q1=0 row is exactly (1, 0))."""
+    st = _STORE_DTYPE
+    gr = None
+    gi = None
+    for a1 in range(h1):
+        xb = x_ref[sub + (pl.ds(a1 * r, r), slice(None))].astype(jnp.float32)
+        tr = xb * c1r[q1, a1]
+        ti = xb * c1i[q1, a1]
+        gr = tr if gr is None else gr + tr
+        gi = ti if gi is None else gi + ti
+    t1r = C["t1r"][pl.ds(q1 * r, r), :]
+    t1i = C["t1i"][pl.ds(q1 * r, r), :]
+    gr = gr.astype(st)
+    gi = gi.astype(st)
+    gr, gi = gr * t1r - gi * t1i, gr * t1i + gi * t1r
+    ar, ai = _kara_l(C["frr"], C["fri"], C["frs"], gr, gi)
+    twr = C["twr"][:].astype(st)
+    twi = C["twi"][:].astype(st)
+    ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
+    return _kara_r(ar, ai, C["fmr"], C["fmi"], C["fms"])
+
+
+def _inv_block_dyn(wr, wi, q1, r, C):
+    """Inverse block for a DYNAMIC q1: conj outer twiddle always applied."""
+    st = _STORE_DTYPE
+    ar, ai = _kara_r(wr, wi, C["qmr"], C["qmi"], C["qms"])
+    twr = C["twr"][:].astype(st)
+    twi = C["twi"][:].astype(st)
+    ar, ai = ar * twr + ai * twi, ai * twr - ar * twi
+    hr, hi = _kara_l(C["qrr"], C["qri"], C["qrs"], ar, ai)
+    t1r = C["t1r"][pl.ds(q1 * r, r), :]
+    t1i = C["t1i"][pl.ds(q1 * r, r), :]
+    return hr * t1r + hi * t1i, hi * t1r - hr * t1i
+
+
+def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
+                      n1: int, r: int, m: int):
+    """One-program recompute backward for one channel: transforms u and dy,
+    emits du per batch, accumulates the dk spectrum in f32 scratch and runs
+    its inverse + Parseval dD on the last batch program. Mirrors
+    pallas_fftconv._bwd_full_kernel_1 in structure, but the per-q1 work
+    runs under fori_loop with SMEM stage-1 coefficients — an unrolled
+    3-transform program at these block counts exceeds the compile
+    pipeline's program-size limits."""
+    nc = len(_CONST_KEYS)
+    C = dict(zip(_CONST_KEYS, refs[:nc]))
+    du_ref, dk_ref, dd_ref = refs[nc], refs[nc + 1], refs[nc + 2]
+    ksr_ref, ksi_ref, pr_ref, pi_ref, hr_ref, hi_ref = refs[nc + 3:nc + 9]
+    st = _STORE_DTYPE
+    h1 = n1 // 2
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        def kbody(q1, _):
+            zr, zi = _fwd_block_dyn(k_ref, c1r, c1i, q1, h1, r, C, sub=(0,))
+            ksr_ref[pl.ds(q1 * r, r), :] = zr
+            ksi_ref[pl.ds(q1 * r, r), :] = -zi  # conj: correlation
+            return 0
+
+        jax.lax.fori_loop(0, n1, kbody, 0)
+
+    def body(q1, _):
+        ur, ui = _fwd_block_dyn(u_ref, c1r, c1i, q1, h1, r, C)
+        dr, di = _fwd_block_dyn(dy_ref, c1r, c1i, q1, h1, r, C)
+        sl = pl.ds(q1 * r, r)
+        kr = ksr_ref[sl, :].astype(st)
+        ki = ksi_ref[sl, :].astype(st)
+        hr, hi = _inv_block_dyn(dr * kr - di * ki, dr * ki + di * kr,
+                                q1, r, C)
+        hr_ref[sl, :] = hr
+        hi_ref[sl, :] = hi
+        pr = (dr * ur + di * ui).astype(jnp.float32)
+        pi = (di * ur - dr * ui).astype(jnp.float32)
+
+        @pl.when(bi == 0)
+        def _():
+            pr_ref[sl, :] = pr
+            pi_ref[sl, :] = pi
+
+        @pl.when(bi != 0)
+        def _():
+            pr_ref[sl, :] = pr_ref[sl, :] + pr
+            pi_ref[sl, :] = pi_ref[sl, :] + pi
+
+        return 0
+
+    jax.lax.fori_loop(0, n1, body, 0)
+
+    # du = stage-1 inverse of the H blocks + dy * D, one a1 block at a time
+    for a1 in range(h1):
+        def emit(q1, acc, a1=a1):
+            sl = pl.ds(q1 * r, r)
+            return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
+                    - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
+
+        acc = jax.lax.fori_loop(0, n1, emit, jnp.zeros((r, m), jnp.float32))
+        dyb = dy_ref[0, 0, a1 * r:(a1 + 1) * r, :].astype(jnp.float32)
+        du = acc + dyb * d_ref[0, :, :1]
+        du_ref[0, 0, a1 * r:(a1 + 1) * r, :] = du.astype(du_ref.dtype)
+
+    @pl.when(bi == nb - 1)
+    def _():
+        # inverse of the accumulated dk spectrum, reusing the H scratch
+        def inv_body(q1, dd):
+            sl = pl.ds(q1 * r, r)
+            spr = pr_ref[sl, :]
+            spi = pi_ref[sl, :]
+            hr, hi = _inv_block_dyn(spr.astype(st), spi.astype(st), q1, r, C)
+            hr_ref[sl, :] = hr
+            hi_ref[sl, :] = hi
+            return dd + jnp.sum(spr)
+
+        dd = jax.lax.fori_loop(0, n1, inv_body, jnp.zeros((), jnp.float32))
+        for a1 in range(h1):
+            def emit(q1, acc, a1=a1):
+                sl = pl.ds(q1 * r, r)
+                return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
+                        - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
+
+            acc = jax.lax.fori_loop(0, n1, emit,
+                                    jnp.zeros((r, m), jnp.float32))
+            dk_ref[0, a1 * r:(a1 + 1) * r, :] = acc.astype(dk_ref.dtype)
+        dd_ref[:] = jnp.full((1, 1, 128), dd / (n1 * r * m), jnp.float32)
+
+
+def fftconv_outer_bwd(u, dy, k, D, n1: int, r: int, m: int,
+                      interpret: bool = False):
+    """(du, dk_time, dD) for fft 2^20/2^21, recomputing both transforms."""
+    bsz, c, lp = u.shape
+    h1 = n1 // 2
+    assert lp == h1 * r * m and k.shape == (c, lp)
+    consts = _consts_outer(n1, r, m)
+    vals = [consts[key] for key in _CONST_KEYS]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    fwd_c, inv_c = _stage1_coefs(n1)
+    import numpy as np
+    c1r = jnp.asarray(np.array([[x[0] for x in row] for row in fwd_c],
+                               np.float32))
+    c1i = jnp.asarray(np.array([[x[1] for x in row] for row in fwd_c],
+                               np.float32))
+    i1r = jnp.asarray(np.array([[x[0] for x in row] for row in inv_c],
+                               np.float32))
+    i1i = jnp.asarray(np.array([[x[1] for x in row] for row in inv_c],
+                               np.float32))
+    smem_specs = [
+        pl.BlockSpec(a.shape, lambda ci, bi: (0, 0),
+                     memory_space=pltpu.SMEM)
+        for a in (c1r, c1i, i1r, i1i)
+    ]
+    kernel = functools.partial(_bwd_kernel_outer, n1=n1, r=r, m=m)
+    io_spec = pl.BlockSpec((1, 1, h1 * r, m), lambda ci, bi: (bi, ci, 0, 0),
+                           memory_space=pltpu.VMEM)
+    du, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c, bsz),
+        in_specs=[
+            *smem_specs,
+            io_spec,
+            io_spec,
+            pl.BlockSpec((1, h1 * r, m), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            io_spec,
+            pl.BlockSpec((1, h1 * r, m), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ci, bi: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, h1 * r, m), dy.dtype),
+            jax.ShapeDtypeStruct((c, h1 * r, m), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM((n1 * r, m), jnp.float32),
+            pltpu.VMEM((n1 * r, m), jnp.float32),
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+        ],
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(c1r, c1i, i1r, i1i,
+      u.reshape(bsz, c, h1 * r, m), dy.reshape(bsz, c, h1 * r, m),
+      k.reshape(c, h1 * r, m),
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
+      *vals)
+    return du.reshape(bsz, c, lp), dk.reshape(c, lp), dd[:, 0, 0]

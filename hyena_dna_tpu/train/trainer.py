@@ -458,7 +458,13 @@ class Trainer:
         # profile scale (919 labels × ~450k DeepSEA eval windows).
         streamer = (M.StreamingHostMetrics(self.task.host_metric_names)
                     if self.task.host_metric_names else None)
+        # `trainer.limit_val_batches` (PL parity, reference train.py config
+        # surface): cap eval to the first N batches — smoke runs and the
+        # virtual-mesh integration scripts use it to bound CPU wallclock.
+        limit = self.trainer_cfg.get("limit_val_batches")
         for batch in loader:
+            if limit and n_batches >= int(limit):
+                break
             bsz = len(batch[0])
             batch = self._shard(batch)
             out = self.eval_step(state, batch)
