@@ -76,6 +76,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--fasta", required=True)
+    ap.add_argument("--preset", default=None,
+                    help="configs/evals yaml with a model: block (e.g. "
+                         "hyena_dna_512ksl) — builds the model from it")
     ap.add_argument("--max_length", type=int, default=1024)
     ap.add_argument("--d_model", type=int, default=128)
     ap.add_argument("--n_layer", type=int, default=2)
@@ -99,7 +102,13 @@ def main(argv=None):
     )
     loader = DataLoader(ds, batch_size=args.batch_size, shuffle=False,
                         drop_last=False, process_index=0, process_count=1)
-    model = build_model(args.d_model, args.n_layer, args.max_length)
+    if args.preset:
+        from hyena_dna_tpu.evals.presets import (build_model_from_preset,
+                                                 load_eval_preset)
+
+        model = build_model_from_preset(load_eval_preset(args.preset)["model"])
+    else:
+        model = build_model(args.d_model, args.n_layer, args.max_length)
     sample = jnp.zeros((1, args.max_length), jnp.int32)
     params = load_params(args.ckpt, model, sample)
 

@@ -28,6 +28,9 @@ from hyena_dna_tpu.evals.soft_prompting import evaluate_soft_prompt, tune_soft_p
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default=None,
+                    help="configs/evals yaml (e.g. soft_prompting_genomics) "
+                         "supplying mode + tuning defaults; explicit flags win")
     ap.add_argument("--mode", choices=["soft_prompting", "instruction_tuned"],
                     default="soft_prompting")
     ap.add_argument("--ckpt", required=True)
@@ -42,6 +45,16 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--batch_size", type=int, default=16)
     args = ap.parse_args(argv)
+    if args.preset:
+        import sys as _sys
+
+        from hyena_dna_tpu.evals.presets import (apply_icl_preset,
+                                                 load_eval_preset)
+
+        raw = argv if argv is not None else _sys.argv[1:]
+        explicit = {t.lstrip("-").split("=")[0]
+                    for t in raw if t.startswith("--")}
+        apply_icl_preset(args, load_eval_preset(args.preset), explicit)
 
     dm = ICLGenomicsDataModule(
         dataset_name=args.dataset_name, dest_path=args.dest_path,

@@ -319,6 +319,79 @@ def _pallas_conv_plan(u, k, fft_size, gelu):
     return _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
 
 
+# Outer-radix fused kernel (ops/pallas_fftconv_n3.py) for fft 2^20/2^21 —
+# the 450k/1M headline regime. n = n1*(r*m): a small outer radix applied as
+# compile-time scaled adds + n1 independent 2-factor sub-FFTs in the proven
+# pure-2-D form; no transposes/relayouts anywhere. One HBM round trip per
+# conv vs the chain's ~6. Gated by plan_outer's size table.
+PALLAS_OUTER_FFTCONV = True
+
+
+def _pallas_outer_plan(u, k, fft_size, gelu):
+    if not (PALLAS_FFTCONV and PALLAS_OUTER_FFTCONV) or gelu:
+        return None
+    if u.ndim != 3 or k.ndim != 2 or k.shape[0] != u.shape[1]:
+        return None
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        return None
+    if not (on_tpu or PALLAS_FFTCONV_INTERPRET):
+        return None
+    from hyena_dna_tpu.ops import pallas_fftconv_n3 as _pfo
+
+    return _pfo.plan_outer(fft_size, u.shape[1], u.shape[-1])
+
+
+def _outer_pad(u, k, lp):
+    seqlen = u.shape[-1]
+    u_in = (jnp.pad(u, [(0, 0), (0, 0), (0, lp - seqlen)])
+            if seqlen < lp else u)
+    k_in = (jnp.pad(k, [(0, 0), (0, lp - k.shape[-1])])
+            if k.shape[-1] < lp else k)
+    return u_in, k_in
+
+
+def _pallas_outer_apply(u, k, D, plan):
+    from hyena_dna_tpu.ops import pallas_fftconv_n3 as _pfo
+
+    n1, r, m = plan
+    seqlen = u.shape[-1]
+    u_in, k_in = _outer_pad(u, k, (n1 // 2) * r * m)
+    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (u.shape[1],)))
+    y = _pfo.fftconv_outer_fwd(u_in, k_in, d_arr, n1, r, m,
+                               interpret=PALLAS_FFTCONV_INTERPRET)
+    return y[..., :seqlen]
+
+
+def _fftconv_bwd_pallas_outer(res, dy, plan):
+    from hyena_dna_tpu.ops import pallas_fftconv_n3 as _pfo
+
+    u, k, D, _, _ = res
+    n1, r, m = plan
+    seqlen = u.shape[-1]
+    lp = (n1 // 2) * r * m
+    u_in, k_in = _outer_pad(u, k, lp)
+    dy_in = (jnp.pad(dy, [(0, 0), (0, 0), (0, lp - seqlen)])
+             if seqlen < lp else dy)
+    d_arr = (jnp.zeros((u.shape[1],), jnp.float32) if D is None
+             else jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1),
+                                   (u.shape[1],)))
+    du, dk_t, dd_c = _pfo.fftconv_outer_bwd(
+        u_in, dy_in, k_in, d_arr, n1, r, m,
+        interpret=PALLAS_FFTCONV_INTERPRET)
+    du = du[..., :seqlen]
+    dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
+    if D is None:
+        return du.astype(u.dtype), dk.astype(k.dtype), None
+    D_arr = jnp.asarray(D)
+    dD = _reduce_to_shape(dd_c.reshape(1, k.shape[0], 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du.astype(u.dtype), dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
 # 3-pass fused kernel (ops/pallas_fftconv3.py) for fft sizes >= 2^19: the
 # long-context range where the 2-pass kernel's factor matrices would blow
 # past the MXU sweet spot and the XLA chain pays ~6 HBM round trips per
@@ -448,6 +521,11 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
             y = _pallas3_apply(u, k, D, fft_size, p3).astype(u.dtype)
             return y, (u, k, D, None, None)
     if not gelu:
+        pouter = _pallas_outer_plan(u, k, fft_size, gelu)
+        if pouter is not None:
+            y = _pallas_outer_apply(u, k, D, pouter).astype(u.dtype)
+            return y, (u, k, D, None, None)
+    if not gelu:
         # narrow fused plans (fft >= 2^19) stream channel blocks through
         # VMEM and never build the XLA chain's HBM workspace, so they are
         # NOT gated on the mxu-fft row budget
@@ -520,6 +598,10 @@ def _fftconv_bwd(gelu, save_spectra, res, dy):
             return _fftconv_bwd_pallas3(res, dy, fft_size, p3)
     if not gelu and _packed_eligible(u, k, fft_size):
         return _fftconv_bwd_packed(res, dy, fft_size)
+    if not gelu:
+        pouter = _pallas_outer_plan(u, k, fft_size, False)
+        if pouter is not None:
+            return _fftconv_bwd_pallas_outer(res, dy, pouter)
     if not gelu:
         pnarrow = _pallas_conv_plan(u, k, fft_size, False)
         if pnarrow is not None and pnarrow[2] < 8:
@@ -688,7 +770,8 @@ def fftconv_chunked(
         fft_size = next_fast_fft_size(2 * l)
         if ((_use_mxu_fft(fft_size, _rows(u.shape))
                 and _pallas_conv_plan(u, k, fft_size, gelu) is not None)
-                or _pallas3_plan(u, k, fft_size, gelu) is not None):
+                or _pallas3_plan(u, k, fft_size, gelu) is not None
+                or _pallas_outer_plan(u, k, fft_size, gelu) is not None):
             block = c
     if block >= c:
         return fftconv(u, k, D, gelu)

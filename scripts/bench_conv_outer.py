@@ -47,7 +47,11 @@ def timeit(name, f, *args):
             s = sum(jnp.sum(jnp.ravel(x)[:1].astype(jnp.float32))
                     for x in leaves)
             eps = s * 1e-30
-            return (c[0] + eps.astype(c[0].dtype),) + c[1:], s
+            # perturb EVERY carry operand: a loop-invariant operand lets
+            # XLA hoist its whole transform out of the scan (e.g. the
+            # chain's dy/k FFTs), which the fused kernels cannot do
+            c = tuple(x + eps.astype(x.dtype) for x in c)
+            return c, s
 
         _, acc = jax.lax.scan(body, a, None, length=REPS)
         return jnp.sum(acc)
@@ -77,19 +81,34 @@ def _ref_probe(y):
     return np.abs(probe - ref).max() / (np.abs(ref).max() + 1e-9)
 
 
-def chain_loss(u, k, D):
+def chain_loss(u, k, D, dy):
     y = F.fftconv(u, k, D, False)
     return jnp.sum(y.astype(jnp.float32) * dy.astype(jnp.float32))
 
 
 for spec in sys.argv[2:] or ["chain", "outer", "train"]:
     if spec == "chain":
-        timeit("chain_fwd",
-               lambda u, k, D: F.fftconv_chunked(u, k, D, False), u, k, D)
+        old = n3._OUTER_BY_N.pop(N, None)
+        try:
+            timeit("chain_fwd",
+                   lambda u, k, D: F.fftconv_chunked(u, k, D, False),
+                   u, k, D)
+        finally:
+            if old is not None:
+                n3._OUTER_BY_N[N] = old
         continue
     if spec == "chain_train":
-        timeit("chain_train", jax.grad(chain_loss, argnums=(0, 1, 2)),
-               u, k, D)
+        old = n3._OUTER_BY_N.pop(N, None)
+        try:
+            timeit("chain_train", jax.grad(chain_loss, argnums=(0, 1, 2)),
+                   u, k, D, dy)
+        finally:
+            if old is not None:
+                n3._OUTER_BY_N[N] = old
+        continue
+    if spec == "train":  # routed path: outer kernel via the custom_vjp
+        timeit("outer_train", jax.grad(chain_loss, argnums=(0, 1, 2)),
+               u, k, D, dy)
         continue
     if spec.startswith("outer"):
         n1, r, m = n3._OUTER_BY_N[N] if ":" not in spec else tuple(
@@ -106,7 +125,8 @@ for spec in sys.argv[2:] or ["chain", "outer", "train"]:
             int(x) for x in spec.split(":")[1].split(","))
         name = f"outer[{n1},{r},{m}]"
         timeit(name + "_bwd",
-               lambda u, k, D: n3.fftconv_outer_bwd(u, dy, k, D, n1, r, m),
-               u, k, D)
+               lambda u, k, D, dy: n3.fftconv_outer_bwd(u, dy, k, D,
+                                                        n1, r, m),
+               u, k, D, dy)
         continue
 print("DONE", flush=True)

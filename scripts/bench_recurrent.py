@@ -160,7 +160,7 @@ def run_speed():
         # device dispatch, which the tunneled worker kills — measure fewer
         # tokens there and report per-token rates (the loop's per-token
         # cost is constant: every step re-runs the full forward).
-        par_tokens = new_tokens if prompt_len <= 8192 else 32
+        par_tokens = new_tokens if prompt_len <= 8192 else 8
         out = parallel_generate(model, params, prompt, par_tokens)
         float(jnp.sum(out))
         t0 = time.perf_counter()

@@ -83,3 +83,41 @@ def test_generate_cli_recurrent(tiny_ckpt):
     ])
     body = text.replace("[BOS]", "").replace("[SEP]", "").replace("[EOS]", "")
     assert body.startswith("ACGT") and set(body) <= set("ACGTN")
+
+
+# --------------------------------------------------------------------------
+# configs/evals presets (reference /root/reference/configs/evals/*.yaml)
+# --------------------------------------------------------------------------
+
+
+def test_512ksl_preset_builds_model():
+    from hyena_dna_tpu.evals.presets import (build_model_from_preset,
+                                             load_eval_preset)
+
+    cfg = load_eval_preset("hyena_dna_512ksl")
+    model = build_model_from_preset(cfg["model"])
+    assert model.d_model == 256 and model.n_layer == 8
+    assert model.d_inner == 1024  # NOT 4*d_model — the preset's whole point
+    assert model.checkpoint_mixer and model.checkpoint_mlp
+    assert model.layer["emb_dim"] == 33 and model.layer["modulate"] is False
+
+
+@pytest.mark.parametrize("name,mode,n_soft,lr", [
+    ("soft_prompting_genomics", "soft_prompting", 16, 1e-3),
+    ("instruction_tuned_genomics", "instruction_tuned", 16, 1e-4),
+])
+def test_icl_presets_feed_cli_args(name, mode, n_soft, lr):
+    from hyena_dna_tpu.evals.presets import (apply_icl_preset,
+                                             load_eval_preset)
+
+    args = SimpleNamespace(mode="soft_prompting", lr=None, steps=500,
+                           n_soft=16, dataset_name="x", shots=0,
+                           max_length=0, batch_size=0)
+    apply_icl_preset(args, load_eval_preset(name), explicit={"steps"})
+    assert args.mode == mode
+    assert args.lr == lr
+    assert args.shots == 2 and args.max_length == 256
+    assert args.batch_size == 16
+    assert args.dataset_name == "human_nontata_promoters"
+    if mode == "soft_prompting":
+        assert args.n_soft == n_soft
