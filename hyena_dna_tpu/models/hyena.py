@@ -355,12 +355,14 @@ class HyenaOperator(fnn.Module):
                                   out_dtype=conv_dt)  # (1, L, d)
         k = jnp.swapaxes(k[0], 0, 1)  # (d, L)
         bias = self.filter_fn.bias  # (d,)
-        from hyena_dna_tpu.ops import fftconv_chunked as _fftconv
+        # post-gate fused into the conv kernel when a gated plan covers the
+        # shape (reference fuses it in csrc/fftconv_cuda.cu; here the gate
+        # rides the Pallas conv's epilogue and v never exists in HBM)
+        from hyena_dna_tpu.ops import fftconv_gated as _fftconv_gated
 
         vx = vx.astype(conv_dt)
         x0 = x0.astype(conv_dt)
-        v = _fftconv(vx, k, bias.astype(jnp.float32), False)
-        y = (v * x0).astype(u.dtype)
+        y = _fftconv_gated(vx, x0, k, bias.astype(jnp.float32)).astype(u.dtype)
         y = jnp.swapaxes(y, -1, -2)
         y = self.act(y)
         y = self.out_proj(y)
@@ -374,8 +376,9 @@ class HyenaOperator(fnn.Module):
         """Gating + long-conv recurrence on (B, C, L) (heads=1, blocks=1).
 
         distributed=True routes the conv through the sequence-sharded
-        channel-pencil kernel; otherwise the local channel-chunked conv."""
-        from hyena_dna_tpu.ops.fftconv import fftconv_chunked
+        channel-pencil kernel; otherwise the local channel-chunked conv
+        with the final gate (v * x0) fused into the last conv's kernel."""
+        from hyena_dna_tpu.ops.fftconv import fftconv_chunked, fftconv_gated
 
         d = self.d_model * self.inner_factor
         o = self.order
@@ -387,8 +390,10 @@ class HyenaOperator(fnn.Module):
         k = jnp.transpose(k, (2, 1, 0))  # (o-1, d, L)
         bias = self.filter_fn.bias.reshape(d, o - 1).T  # (o-1, d)
 
+        gated = False
         for i, x_i in enumerate(reversed(x[1:])):
             v = self.drop(v * x_i, deterministic=deterministic)
+            last = i == o - 2
             if distributed:
                 v = seq_fftconv(
                     v,
@@ -397,12 +402,18 @@ class HyenaOperator(fnn.Module):
                     self.mesh,
                     seq_axis=self.seq_axis,
                 ).astype(v.dtype)
+            elif last:
+                v = fftconv_gated(
+                    v, x[0].astype(v.dtype), k[i].astype(jnp.float32),
+                    bias[i].astype(jnp.float32)
+                ).astype(v.dtype)
+                gated = True
             else:
                 v = fftconv_chunked(
                     v, k[i].astype(jnp.float32), bias[i].astype(jnp.float32), False
                 ).astype(v.dtype)
 
-        y = v * x[0]
+        y = v if gated else v * x[0]
         y = jnp.swapaxes(y, -1, -2)  # (B, L, d)
         y = self.act(y)
         y = self.out_proj(y)

@@ -792,6 +792,175 @@ def fftconv_chunked(
 
 
 # ---------------------------------------------------------------------------
+# gated fftconv: y = (conv(u, k) + u*D) * x0 with the gate fused in-kernel
+# ---------------------------------------------------------------------------
+# The Hyena post-gate (reference `hyena.py:441`, fused in-kernel by
+# `csrc/fftconv/fftconv_cuda.cu:336-519`) costs XLA an extra elementwise
+# pass over the step's largest tensors when composed as fftconv(...) * x0:
+# the conv output round-trips HBM just to be multiplied. The gated kernels
+# (ops/pallas_fftconv.py) take x0 as one more input stream, write the gated
+# output directly, and the backward recomputes the ungated conv output from
+# u's spectrum IN-VMEM for dx0 = dy * v — v never exists in HBM in either
+# direction.
+# MEASURED AND REJECTED on v5e (2026-08-20, 32k bench shape B=4 C=256):
+# all three gated variants lose to the composite (conv kernel + XLA gate):
+#   conv+gate slice train: composite 6.45 ms, specv 7.21, spec 8.21;
+#   model_train: composite 103.46 ms, specv 105.92.
+# XLA's elementwise gate passes already run at full HBM bandwidth and fuse
+# with their neighbors, while the kernel's extra input/output streams (x0
+# in, v out) cost its pipeline more than the deleted round trips — the
+# kernel is not bandwidth-bound at these shapes. Kept as a gated,
+# parity-tested experiment (tests/test_fftconv_gated.py); enable with
+# HYENA_GATED_CONV=1.
+PALLAS_GATED_FFTCONV = os.environ.get("HYENA_GATED_CONV", "0") == "1"
+# Backward strategy:
+#   "specv":       fwd saves u's spectrum AND the ungated v; bwd transform
+#                  count matches the ungated backward (dx0 = dy*v is VPU).
+#   "spec":        fwd saves only the spectrum; bwd recomputes v with one
+#                  extra in-kernel inverse (more MXU, less HBM).
+#   "retransform": fwd saves nothing; bwd re-transforms u AND recomputes v
+#                  (most MXU, least HBM).
+PALLAS_GATED_MODE = os.environ.get("HYENA_GATED_MODE", "specv")
+
+
+def _gated_plan(u, k, fft_size):
+    """(r, m, cb) when the packed gated kernels cover this conv."""
+    if not (PALLAS_FFTCONV and PALLAS_GATED_FFTCONV):
+        return None
+    if u.ndim != 3 or k.ndim != 2 or k.shape[0] != u.shape[1]:
+        return None
+    if u.shape[0] % 2:  # packed kernels pair batch rows
+        return None
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        return None
+    if not (on_tpu or PALLAS_FFTCONV_INTERPRET):
+        return None
+    if not _use_mxu_fft(fft_size, _rows(u.shape)):
+        return None
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    if _pf.needs_split_bwd(fft_size):
+        return None  # no gated split backward; composite fallback
+    p = _pf.plan(fft_size, u.shape[1], u.shape[-1], _nat_chain(fft_size))
+    if p is None or p[2] < 8:
+        return None  # narrow plans have no gated variant
+    return p
+
+
+def _fftconv_gated_prim(u, x0, k, D):
+    y, _ = _fftconv_gated_fwd(u, x0, k, D)
+    return y
+
+
+def _gated_pad(a, lp):
+    seqlen = a.shape[-1]
+    return (jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, lp - seqlen)])
+            if seqlen < lp else a)
+
+
+def _gated_d_arr(D, c):
+    if D is None:
+        return jnp.zeros((c,), jnp.float32)
+    return jnp.broadcast_to(jnp.asarray(D, jnp.float32).reshape(-1), (c,))
+
+
+def _fftconv_gated_fwd(u, x0, k, D):
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    seqlen = u.shape[-1]
+    fft_size = next_fast_fft_size(2 * seqlen)
+    r, m, cb = _gated_plan(u, k, fft_size)
+    lp = (r // 2) * m
+    u_in = _gated_pad(u, lp)
+    x0_in = _gated_pad(x0, lp)
+    k_in = _gated_pad(k, lp)
+    d_arr = _gated_d_arr(D, u.shape[1])
+    spec_bytes = 2 * 2 * (u.shape[0] // 2) * u.shape[1] * fft_size
+    mode = PALLAS_GATED_MODE
+    if spec_bytes > pallas_save_spec_max_bytes():
+        mode = "retransform"
+    if mode == "specv":
+        y, v_s, ur_s, ui_s = _pf.fftconv_fused_fwd_packed_gated(
+            u_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET, save_spectrum=True,
+            save_v=True)
+        res = (None, x0, k, D, (ur_s, ui_s, v_s))
+    elif mode == "spec":
+        y, ur_s, ui_s = _pf.fftconv_fused_fwd_packed_gated(
+            u_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET, save_spectrum=True)
+        res = (None, x0, k, D, (ur_s, ui_s))
+    else:
+        y = _pf.fftconv_fused_fwd_packed_gated(
+            u_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+        res = (u, x0, k, D, None)
+    return y[..., :seqlen].astype(u.dtype), res
+
+
+def _fftconv_gated_bwd(res, dy):
+    from hyena_dna_tpu.ops import pallas_fftconv as _pf
+
+    u, x0, k, D, spec = res
+    seqlen = dy.shape[-1]
+    fft_size = next_fast_fft_size(2 * seqlen)
+    r, m, cb = _gated_plan(x0, k, fft_size)
+    lp = (r // 2) * m
+    dy_in = _gated_pad(dy, lp)
+    x0_in = _gated_pad(x0, lp)
+    k_in = _gated_pad(k, lp)
+    c = k.shape[0]
+    d_arr = _gated_d_arr(D, c)
+    if spec is not None and len(spec) == 3:
+        ur_s, ui_s, v_s = spec
+        du, dx0, dk_t, dd_c = _pf.fftconv_fused_bwd_specv_packed_gated(
+            ur_s, ui_s, v_s, dy_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+        dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
+    elif spec is not None:
+        ur_s, ui_s = spec
+        du, dx0, dk_t, dd_c = _pf.fftconv_fused_bwd_spec_packed_gated(
+            ur_s, ui_s, dy_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+        dk = dk_t[..., :k.shape[-1]].reshape(k.shape)
+    else:
+        u_in = _gated_pad(u, lp)
+        du, dx0, pr, pi, dd_c = _pf.fftconv_fused_bwd_packed_gated(
+            u_in, dy_in, x0_in, k_in, d_arr, r, m, cb,
+            interpret=PALLAS_FFTCONV_INTERPRET)
+        back = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(c, r * m)
+        dk = ifft_chain_real(back(pr), back(pi),
+                             fft_size)[..., :k.shape[-1]].reshape(k.shape)
+    du = du[..., :seqlen].astype(dy.dtype)
+    dx0 = dx0[..., :seqlen].astype(x0.dtype)
+    if D is None:
+        return du, dx0, dk.astype(k.dtype), None
+    D_arr = jnp.asarray(D)
+    dD = _reduce_to_shape(dd_c.reshape(1, c, 1),
+                          D_arr.shape + (1,)).reshape(D_arr.shape)
+    return du, dx0, dk.astype(k.dtype), dD.astype(D_arr.dtype)
+
+
+_fftconv_gated_prim = jax.custom_vjp(_fftconv_gated_prim)
+_fftconv_gated_prim.defvjp(_fftconv_gated_fwd, _fftconv_gated_bwd)
+
+
+def fftconv_gated(u: jax.Array, x0: jax.Array, k: jax.Array,
+                  D: jax.Array) -> jax.Array:
+    """(causal_conv(u, k) + u*D) * x0 on (B, C, L).
+
+    Routes to the gate-fused packed Pallas kernels when they cover the
+    shape (fft 2^16/2^17, even B, C % 8 == 0); otherwise the composite
+    fftconv_chunked(u, k, D) * x0 — identical math either way."""
+    fft_size = next_fast_fft_size(2 * u.shape[-1])
+    if _gated_plan(u, k, fft_size) is not None:
+        return _fftconv_gated_prim(u, x0, k, D)
+    return (fftconv_chunked(u, k, D, False) * x0).astype(u.dtype)
+
+
+# ---------------------------------------------------------------------------
 # two-step (four-step / Bailey) FFT for very long transforms
 # ---------------------------------------------------------------------------
 

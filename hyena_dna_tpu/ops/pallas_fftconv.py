@@ -1414,6 +1414,562 @@ def needs_split_bwd(n: int) -> bool:
 _CB_BY_N_NARROW = {1 << 19: 1}
 
 
+# ---------------------------------------------------------------------------
+# gated fused conv: y = (conv(u, k) + u*D) * x0 in one kernel
+# ---------------------------------------------------------------------------
+# The Hyena mixer's post-gate (`hyena.py:441` in the reference: y = v * x[0],
+# fused in-kernel by `csrc/fftconv/fftconv_cuda.cu:336-519`) is an extra
+# elementwise pass over the step's largest tensors when left to XLA. These
+# variants take x0 as one more input stream and write the GATED output.
+# MEASURED AND REJECTED on v5e — all three backward strategies lose to the
+# composite (see the PALLAS_GATED_FFTCONV note in ops/fftconv.py): on TPU,
+# XLA's gate passes already run at HBM bandwidth and fuse with neighbors,
+# so the CUDA-style in-kernel gating does not transfer. Kept gated
+# (HYENA_GATED_CONV=1) with full parity tests.
+#
+# One trick unifies the D-term and kills the extra inverse transform's setup:
+# the cached filter spectrum stores ks = K + D (a delta at lag 0 has a flat
+# spectrum, so adding D to every bin == adding u*D in the time domain):
+#   v  = inv(U * ks)                     (forward / gate-gradient recompute)
+#   du = inv(dV * conj(ks))              (correlation with k + D*delta
+#                                         == corr(dv, k) + dv*D)
+# with dv = dy * x0 computed in the prologue and dx0 = dy * v in the epilogue.
+
+
+def _ks_store(kr0, ki0, d_ref, ksr_ref, ksi_ref):
+    """Cache ks = K + D (unconjugated) in the filter-spectrum scratch."""
+    ksr_ref[:] = (kr0.astype(jnp.float32)
+                  + d_ref[:, 0][None, :, None]).astype(ksr_ref.dtype)
+    ksi_ref[:] = ki0
+
+
+def _conv_kernel_packed_gated(u_ref, x0_ref, k_ref, d_ref,
+                              frr, fri, fmr, fmi, twr, twi, cmr, cmi,
+                              crr, cri, fms, cms, frs, crs,
+                              y_ref, *out_refs, r: int, m: int,
+                              save_spectrum: bool = False,
+                              save_v: bool = False):
+    """Packed forward with the gate fused: y = (conv(u,k) + u*D) * x0.
+    u is in VMEM here, so the D term adds exactly in the time domain
+    (plain K cached); only the v-recompute backward uses the ks = K + D
+    trick. save_v additionally writes the UNGATED conv output v, which the
+    measured-default backward consumes for dx0 = dy * v with zero extra
+    transforms (the v-recompute backward's in-kernel inverse costs more
+    MXU time than the saved HBM pass: 8.21 vs 6.45 ms/conv-train at the
+    32k bench slice)."""
+    refs = list(out_refs)
+    v_ref = refs.pop(0) if save_v else None
+    if save_spectrum:
+        zr_ref, zi_ref, ksr_ref, ksi_ref = refs
+    else:
+        ksr_ref, ksi_ref = refs
+    st = _STORE_DTYPE
+    cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = ki0
+
+    u0 = u_ref[0]
+    u1 = u_ref[1]
+    zr, zi = _fwd_transform_c(u0, u1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+    if save_spectrum:
+        zr_ref[0] = zr.astype(zr_ref.dtype)
+        zi_ref[0] = zi.astype(zi_ref.dtype)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (zr * kr - zi * ki).reshape(r * cb, m)
+    wi = (zr * ki + zi * kr).reshape(r * cb, m)
+    y0, y1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                        crr, cri, crs)
+    d = d_ref[:, 0][:, None]
+    v0 = y0.astype(jnp.float32) + u0.astype(jnp.float32) * d
+    v1 = y1.astype(jnp.float32) + u1.astype(jnp.float32) * d
+    if save_v:
+        v_ref[0] = v0.astype(v_ref.dtype)
+        v_ref[1] = v1.astype(v_ref.dtype)
+    y_ref[0] = (v0 * x0_ref[0].astype(jnp.float32)).astype(y_ref.dtype)
+    y_ref[1] = (v1 * x0_ref[1].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def fftconv_fused_fwd_packed_gated(u, x0, k, D, r: int, m: int, cb: int,
+                                   interpret: bool = False,
+                                   save_spectrum: bool = False,
+                                   save_v: bool = False):
+    """Gated packed fused conv forward: (B, C, Lp) x0-gated output, plus
+    the ungated conv output v when save_v, plus u's packed spectrum when
+    save_spectrum. Output order: y[, v][, ur, ui]."""
+    bsz, c, lp = u.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert x0.shape == u.shape
+    assert c % cb == 0
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_conv_kernel_packed_gated, r=r, m=m,
+                               save_spectrum=save_spectrum, save_v=save_v)
+    row_spec = pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [row_spec]
+    out_shape = [jax.ShapeDtypeStruct((bsz, c, lp), u.dtype)]
+    if save_v:
+        out_specs += [row_spec]
+        out_shape += [jax.ShapeDtypeStruct((bsz, c, lp), u.dtype)]
+    if save_spectrum:
+        out_specs += [pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                                   memory_space=pltpu.VMEM)] * 2
+        out_shape += [jax.ShapeDtypeStruct((bsz // 2, r, c, m),
+                                           _STORE_DTYPE)] * 2
+    single = not (save_v or save_spectrum)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=out_specs[0] if single else out_specs,
+        out_shape=out_shape[0] if single else out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(u, x0, k, jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)),
+      *vals)
+    return outs
+
+
+def _bwd_spec_kernel_packed_gated(ur_ref, ui_ref, dy_ref, x0_ref, k_ref,
+                                  d_ref,
+                                  frr, fri, fmr, fmi, twr, twi, cmr, cmi,
+                                  crr, cri, fms, cms, frs, crs,
+                                  du_ref, dx0_ref, dk_ref, dd_ref,
+                                  pr_ref, pi_ref, ksr_ref, ksi_ref,
+                                  *, r: int, m: int):
+    """Gated packed backward from the saved u-spectrum:
+      dv  = dy * x0                      (prologue, VPU)
+      du  = inv(dV * conj(ks))           (one packed transform + inverse)
+      v   = inv(U * ks);  dx0 = dy * v   (one more inverse, zero extra HBM)
+      dk  = Re(ifft(sum dV*conj(U)));  dD = Re(sum bins)/N  (last program)
+    """
+    st = _STORE_DTYPE
+    cb = dy_ref.shape[1]
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        _ks_store(kr0, ki0, d_ref, ksr_ref, ksi_ref)
+
+    dy0 = dy_ref[0]
+    dy1 = dy_ref[1]
+    x00 = x0_ref[0]
+    x01 = x0_ref[1]
+    ur = ur_ref[0].astype(st)
+    ui = ui_ref[0].astype(st)
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+
+    # gate gradient: v = inv(U * ks) (conv + u*D in one inverse)
+    vr = (ur * kr - ui * ki).reshape(r * cb, m)
+    vi = (ur * ki + ui * kr).reshape(r * cb, m)
+    v0, v1 = _inverse_c(vr, vi, cb, r, m, twr, twi, cmr, cmi, cms,
+                        crr, cri, crs)
+    dx0_ref[0] = (v0.astype(jnp.float32)
+                  * dy0.astype(jnp.float32)).astype(dx0_ref.dtype)
+    dx0_ref[1] = (v1.astype(jnp.float32)
+                  * dy1.astype(jnp.float32)).astype(dx0_ref.dtype)
+
+    # conv gradient stream: dv = dy * x0
+    dv0 = (dy0.astype(jnp.float32) * x00.astype(jnp.float32)).astype(st)
+    dv1 = (dy1.astype(jnp.float32) * x01.astype(jnp.float32)).astype(st)
+    dr, di = _fwd_transform_c(dv0, dv1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+
+    # du = inv(dV * conj(ks)) — corr(dv, k) + dv*D via the ks trick
+    wr = (dr * kr + di * ki).reshape(r * cb, m)
+    wi = (di * kr - dr * ki).reshape(r * cb, m)
+    du0, du1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                          crr, cri, crs)
+    du_ref[0] = du0.astype(du_ref.dtype)
+    du_ref[1] = du1.astype(du_ref.dtype)
+
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk_ref[:] = _inverse_real(spr.reshape(r * cb, m),
+                                  spi.reshape(r * cb, m), cb, r, m,
+                                  twr, twi, cmr, cmi, cms,
+                                  crr, cri).astype(dk_ref.dtype)
+        dd = jnp.sum(spr, axis=(0, 2), keepdims=False) / (r * m)
+        dd_ref[:] = jnp.broadcast_to(dd[:, None], (cb, 128)).astype(jnp.float32)
+
+
+def fftconv_fused_bwd_spec_packed_gated(ur, ui, dy, x0, k, D,
+                                        r: int, m: int, cb: int,
+                                        interpret: bool = False):
+    """(du, dx0, dk_time, dD) given the PACKED u-spectrum saved by
+    fftconv_fused_fwd_packed_gated."""
+    bsz, c, lp = dy.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert ur.shape == (bsz // 2, r, c, m), ur.shape
+    assert x0.shape == dy.shape
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_spec_kernel_packed_gated, r=r, m=m)
+    spec_in = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                            memory_space=pltpu.VMEM)
+    du, dx0, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            spec_in,
+            spec_in,
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((c, lp), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(ur, ui, dy, x0, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dx0, dk, dd[:, 0]
+
+
+def _bwd_specv_kernel_packed_gated(ur_ref, ui_ref, v_ref, dy_ref, x0_ref,
+                                   k_ref, d_ref,
+                                   frr, fri, fmr, fmi, twr, twi, cmr, cmi,
+                                   crr, cri, fms, cms, frs, crs,
+                                   du_ref, dx0_ref, dk_ref, dd_ref,
+                                   pr_ref, pi_ref, ksr_ref, ksi_ref,
+                                   *, r: int, m: int):
+    """Gated packed backward from the saved u-spectrum AND saved v: same
+    transform count as the ungated spectrum backward (one dv transform,
+    one du inverse) — dx0 = dy * v is a VPU multiply on the saved v, and
+    both D terms add exactly in the time domain (plain K cached)."""
+    st = _STORE_DTYPE
+    cb = dy_ref.shape[1]
+    bi = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = ki0
+
+    dy0 = dy_ref[0]
+    dy1 = dy_ref[1]
+    dx0_ref[0] = (v_ref[0].astype(jnp.float32)
+                  * dy0.astype(jnp.float32)).astype(dx0_ref.dtype)
+    dx0_ref[1] = (v_ref[1].astype(jnp.float32)
+                  * dy1.astype(jnp.float32)).astype(dx0_ref.dtype)
+
+    dv0f = dy0.astype(jnp.float32) * x0_ref[0].astype(jnp.float32)
+    dv1f = dy1.astype(jnp.float32) * x0_ref[1].astype(jnp.float32)
+    dr, di = _fwd_transform_c(dv0f.astype(st), dv1f.astype(st), cb, r, m,
+                              frr, fri, frs, fmr, fmi, twr, twi, fms)
+
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    wr = (dr * kr + di * ki).reshape(r * cb, m)
+    wi = (di * kr - dr * ki).reshape(r * cb, m)
+    du0, du1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                          crr, cri, crs)
+    d = d_ref[:, 0][:, None]
+    du_ref[0] = (du0.astype(jnp.float32) + dv0f * d).astype(du_ref.dtype)
+    du_ref[1] = (du1.astype(jnp.float32) + dv1f * d).astype(du_ref.dtype)
+
+    ur = ur_ref[0].astype(st)
+    ui = ui_ref[0].astype(st)
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+
+    @pl.when(bi == nb - 1)
+    def _():
+        spr = pr_ref[:]
+        spi = pi_ref[:]
+        dk_ref[:] = _inverse_real(spr.reshape(r * cb, m),
+                                  spi.reshape(r * cb, m), cb, r, m,
+                                  twr, twi, cmr, cmi, cms,
+                                  crr, cri).astype(dk_ref.dtype)
+        dd = jnp.sum(spr, axis=(0, 2), keepdims=False) / (r * m)
+        dd_ref[:] = jnp.broadcast_to(dd[:, None], (cb, 128)).astype(jnp.float32)
+
+
+def fftconv_fused_bwd_specv_packed_gated(ur, ui, v, dy, x0, k, D,
+                                         r: int, m: int, cb: int,
+                                         interpret: bool = False):
+    """(du, dx0, dk_time, dD) given the saved packed u-spectrum and the
+    saved ungated conv output v."""
+    bsz, c, lp = dy.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert ur.shape == (bsz // 2, r, c, m), ur.shape
+    assert v.shape == dy.shape and x0.shape == dy.shape
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v_.shape, lambda ci, bi, nd=v_.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v_ in vals
+    ]
+    kernel = functools.partial(_bwd_specv_kernel_packed_gated, r=r, m=m)
+    spec_in = pl.BlockSpec((1, r, cb, m), lambda ci, bi: (bi, 0, ci, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                            memory_space=pltpu.VMEM)
+    du, dx0, dk, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            spec_in,
+            spec_in,
+            row_spec,
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((bsz, c, lp), dy.dtype),
+            jax.ShapeDtypeStruct((c, lp), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), jnp.float32),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(ur, ui, v, dy, x0, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dx0, dk, dd[:, 0]
+
+
+def _bwd_kernel_packed_gated(u_ref, dy_ref, x0_ref, k_ref, d_ref,
+                             frr, fri, fmr, fmi, twr, twi, cmr, cmi,
+                             crr, cri, fms, cms, frs, crs,
+                             du_ref, dx0_ref, pr_ref, pi_ref, dd_ref,
+                             ksr_ref, ksi_ref, *, r: int, m: int):
+    """Gated packed backward WITHOUT a saved spectrum: re-transforms u
+    in-kernel (two packed transforms per program instead of one), so the
+    forward never writes the 2T-byte spectrum pair to HBM. u and dv are in
+    VMEM here, so both D terms (v's u*D, du's dv*D) add exactly in the
+    time domain (plain K cached); dD accumulates directly as sum dv*u."""
+    st = _STORE_DTYPE
+    cb = u_ref.shape[1]
+    bi = pl.program_id(1)
+
+    @pl.when(bi == 0)
+    def _():
+        kr0, ki0 = _fwd_transform(k_ref[:], cb, r, m,
+                                  frr, fri, fmr, fmi, twr, twi, fms)
+        ksr_ref[:] = kr0
+        ksi_ref[:] = ki0
+
+    u0 = u_ref[0]
+    u1 = u_ref[1]
+    dy0 = dy_ref[0]
+    dy1 = dy_ref[1]
+    x00 = x0_ref[0]
+    x01 = x0_ref[1]
+    kr = ksr_ref[:].astype(st)
+    ki = ksi_ref[:].astype(st)
+    d = d_ref[:, 0][:, None]
+
+    ur, ui = _fwd_transform_c(u0, u1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+    vr = (ur * kr - ui * ki).reshape(r * cb, m)
+    vi = (ur * ki + ui * kr).reshape(r * cb, m)
+    v0, v1 = _inverse_c(vr, vi, cb, r, m, twr, twi, cmr, cmi, cms,
+                        crr, cri, crs)
+    dx0_ref[0] = ((v0.astype(jnp.float32) + u0.astype(jnp.float32) * d)
+                  * dy0.astype(jnp.float32)).astype(dx0_ref.dtype)
+    dx0_ref[1] = ((v1.astype(jnp.float32) + u1.astype(jnp.float32) * d)
+                  * dy1.astype(jnp.float32)).astype(dx0_ref.dtype)
+
+    dv0f = dy0.astype(jnp.float32) * x00.astype(jnp.float32)
+    dv1f = dy1.astype(jnp.float32) * x01.astype(jnp.float32)
+    dv0 = dv0f.astype(st)
+    dv1 = dv1f.astype(st)
+    dr, di = _fwd_transform_c(dv0, dv1, cb, r, m, frr, fri, frs,
+                              fmr, fmi, twr, twi, fms)
+
+    wr = (dr * kr + di * ki).reshape(r * cb, m)
+    wi = (di * kr - dr * ki).reshape(r * cb, m)
+    du0, du1 = _inverse_c(wr, wi, cb, r, m, twr, twi, cmr, cmi, cms,
+                          crr, cri, crs)
+    du_ref[0] = (du0.astype(jnp.float32) + dv0f * d).astype(du_ref.dtype)
+    du_ref[1] = (du1.astype(jnp.float32) + dv1f * d).astype(du_ref.dtype)
+
+    pr = (dr * ur + di * ui).astype(jnp.float32)
+    pi = (di * ur - dr * ui).astype(jnp.float32)
+    dd = jnp.sum(dv0.astype(jnp.float32) * u0.astype(jnp.float32)
+                 + dv1.astype(jnp.float32) * u1.astype(jnp.float32),
+                 axis=1, keepdims=True)
+    dd = jnp.broadcast_to(dd, (cb, 128))
+
+    @pl.when(bi == 0)
+    def _():
+        pr_ref[:] = pr
+        pi_ref[:] = pi
+        dd_ref[:] = dd
+
+    @pl.when(bi != 0)
+    def _():
+        pr_ref[:] = pr_ref[:] + pr
+        pi_ref[:] = pi_ref[:] + pi
+        dd_ref[:] = dd_ref[:] + dd
+
+
+def fftconv_fused_bwd_packed_gated(u, dy, x0, k, D, r: int, m: int, cb: int,
+                                   interpret: bool = False):
+    """(du, dx0, dk_spec_r, dk_spec_i, dD) with u re-transformed in-kernel;
+    the caller inverts the dk spectrum (ifft_chain_real) as in the ungated
+    full backward."""
+    bsz, c, lp = u.shape
+    assert bsz % 2 == 0 and lp == (r // 2) * m and k.shape == (c, lp)
+    assert x0.shape == u.shape and dy.shape == u.shape
+    consts = _dft_consts(r, m, r * m)
+    vals = [consts[key] for key in _CONST_KEYS_PK]
+    const_specs = [
+        pl.BlockSpec(v.shape, lambda ci, bi, nd=v.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
+        for v in vals
+    ]
+    kernel = functools.partial(_bwd_kernel_packed_gated, r=r, m=m)
+    row_spec = pl.BlockSpec((2, cb, lp), lambda ci, bi: (bi, ci, 0),
+                            memory_space=pltpu.VMEM)
+    du, dx0, pr, pi, dd = pl.pallas_call(
+        kernel,
+        grid=(c // cb, bsz // 2),
+        in_specs=[
+            row_spec,
+            row_spec,
+            row_spec,
+            pl.BlockSpec((cb, lp), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, cb, m), lambda ci, bi: (0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 128), lambda ci, bi: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+            jax.ShapeDtypeStruct((bsz, c, lp), u.dtype),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((r, c, m), jnp.float32),
+            jax.ShapeDtypeStruct((c, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+            pltpu.VMEM((r, cb, m), _STORE_DTYPE),
+        ],
+        compiler_params=_compiler_params(r * m),
+        interpret=interpret,
+    )(u, dy, x0, k,
+      jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1), (1, 128)), *vals)
+    return du, dx0, pr, pi, dd[:, 0]
+
+
 def plan(n: int, c: int, seqlen: int, chain):
     """(r, m, cb) if the fused kernel supports this conv, else None.
     cb < 8 marks a narrow plan (4-D-block kernels, balanced 2-factor)."""

@@ -84,6 +84,28 @@ if {"conv_fwd", "conv_train"} & set(want):
                      argnums=(0, 1, 2))
         timeit("conv_train", g, u, k, D)
 
+if {"gate_composite_train", "gate_fused_train"} & set(want):
+    # the conv + post-gate slice: composite (conv kernel, then XLA gate
+    # multiply) vs the gate-fused kernels (HYENA_GATED_SPEC toggles the
+    # spectrum-saving vs re-transform backward)
+    from hyena_dna_tpu.ops.fftconv import fftconv_chunked, fftconv_gated
+
+    u = jnp.asarray(rng.normal(size=(B, d, L)).astype(np.float32), jnp.bfloat16)
+    x0 = jnp.asarray(rng.normal(size=(B, d, L)).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(d, L)).astype(np.float32) *
+                    np.exp(-np.arange(L) / 512, dtype=np.float32))
+    D = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    if "gate_composite_train" in want:
+        g = jax.grad(lambda u, x0, k, D: jnp.sum(
+            (fftconv_chunked(u, k, D, False) * x0).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3))
+        timeit("gate_comp_train", g, u, x0, k, D)
+    if "gate_fused_train" in want:
+        g = jax.grad(lambda u, x0, k, D: jnp.sum(
+            fftconv_gated(u, x0, k, D).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2, 3))
+        timeit("gate_fused_train", g, u, x0, k, D)
+
 if {"front_fwd", "front_train"} & set(want):
     from hyena_dna_tpu.models import HyenaOperator
 
