@@ -39,22 +39,36 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parents[1]
 
-CKPT = REPO / "runs/drift_f32/checkpoints/best"
 FASTA = REPO / "data/hg38/synthetic_hg38.fa"
 
 CFG = dict(d_model=128, n_layer=2, d_inner=512, vocab_size=12,
            pad_vocab_size_multiple=8, residual_in_fp32=True,
            embed_dropout=0.1)
-LAYER = dict(_name_="hyena", emb_dim=5, filter_order=64,
-             short_filter_order=3, l_max=1026, modulate=True, w=10)
+
+# Two trained checkpoints: the reference-recipe 1k pretrain (round-3 drift
+# study) and a 32k-context pretrain (round-4: drift at >=16k windows, where
+# modal truncation error accumulates, plus honest re-forward speed — the
+# re-forward at long prompts runs the FULL l_max window, not a 1k cap).
+PRESETS = {
+    "1k": dict(ckpt="runs/drift_f32/checkpoints/best", l_max=1026,
+               drift_windows=((1024, 16),), drift_P=(16, 32, 64, 128),
+               prompts=(1024, 8192, 32768)),
+    "32k": dict(ckpt="runs/rec32k/checkpoints/best", l_max=32770,
+                drift_windows=((1024, 16), (4096, 8), (16384, 4),
+                               (32768, 4)),
+                drift_P=(32, 64), prompts=(1024, 8192, 32768)),
+}
 
 
-def load_model_and_params():
+def load_model_and_params(preset):
     from hyena_dna_tpu.models import ConvLMHeadModel
     from hyena_dna_tpu.train.checkpoint import restore_params_only
 
-    model = ConvLMHeadModel(layer=dict(LAYER), dtype=jnp.float32, **CFG)
-    params = restore_params_only(str(CKPT))
+    layer = dict(_name_="hyena", emb_dim=5, filter_order=64,
+                 short_filter_order=3, l_max=preset["l_max"], modulate=True,
+                 w=10)
+    model = ConvLMHeadModel(layer=layer, dtype=jnp.float32, **CFG)
+    params = restore_params_only(str(REPO / preset["ckpt"]))
     return model, params
 
 
@@ -91,57 +105,60 @@ def exact_ppl_from_logits(logits, targets):
     return float(np.exp(nll.mean()))
 
 
-def run_drift():
+def run_drift(name, preset):
     from hyena_dna_tpu.recurrent import distill
 
-    model, params = load_model_and_params()
-    toks = eval_windows()
-    x, y = toks[:, :-1], toks[:, 1:]
+    model, params = load_model_and_params(preset)
+    results = {"preset": name, "per_window": {}}
+    recs = {P: distill(model, params, n_modes=P) for P in preset["drift_P"]}
+    for length, n_windows in preset["drift_windows"]:
+        toks = eval_windows(n_windows=n_windows, length=length)
+        x, y = toks[:, :-1], toks[:, 1:]
 
-    logits_par, _ = jax.jit(
-        lambda p, x: model.apply({"params": p}, x, deterministic=True)
-    )(params, jnp.asarray(x))
-    ppl_par = exact_ppl_from_logits(logits_par, y)
+        logits_par, _ = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, deterministic=True)
+        )(params, jnp.asarray(x))
+        ppl_par = exact_ppl_from_logits(logits_par, y)
 
-    results = {"parallel_ppl": ppl_par, "windows": int(toks.shape[0]),
-               "window_len": int(toks.shape[1]), "per_P": {}}
-    for P in (16, 32, 64, 128):
-        rec = distill(model, params, n_modes=P)
+        entry = {"parallel_ppl": ppl_par, "windows": n_windows, "per_P": {}}
+        for P, rec in recs.items():
+            @jax.jit
+            def all_logits(rec, tokens):
+                def body(st, tokcol):
+                    st, lg = rec.step(st, tokcol)
+                    return st, lg
+                _, lgs = jax.lax.scan(body, rec.init_state(tokens.shape[0]),
+                                      jnp.swapaxes(tokens, 0, 1))
+                return jnp.swapaxes(lgs, 0, 1)  # (B, T, V)
 
-        @jax.jit
-        def all_logits(rec, tokens):
-            def body(st, tokcol):
-                st, lg = rec.step(st, tokcol)
-                return st, lg
-            _, lgs = jax.lax.scan(body, rec.init_state(tokens.shape[0]),
-                                  jnp.swapaxes(tokens, 0, 1))
-            return jnp.swapaxes(lgs, 0, 1)  # (B, T, V)
+            logits_rec = all_logits(rec, jnp.asarray(x))
+            ppl_rec = exact_ppl_from_logits(logits_rec, y)
+            entry["per_P"][P] = {
+                "recurrent_ppl": ppl_rec,
+                "drift_pct": 100.0 * (ppl_rec - ppl_par) / ppl_par,
+                "fit_rel_err": rec.fit_rel_err,
+            }
+            print(f"window {length} P={P}: parallel ppl {ppl_par:.4f} -> "
+                  f"recurrent {ppl_rec:.4f} "
+                  f"({entry['per_P'][P]['drift_pct']:+.3f}%), "
+                  f"fit_rel_err {rec.fit_rel_err:.2e}", flush=True)
+        results["per_window"][length] = entry
 
-        logits_rec = all_logits(rec, jnp.asarray(x))
-        ppl_rec = exact_ppl_from_logits(logits_rec, y)
-        results["per_P"][P] = {
-            "recurrent_ppl": ppl_rec,
-            "drift_pct": 100.0 * (ppl_rec - ppl_par) / ppl_par,
-            "fit_rel_err": rec.fit_rel_err,
-        }
-        print(f"P={P}: parallel ppl {ppl_par:.4f} -> recurrent {ppl_rec:.4f} "
-              f"({results['per_P'][P]['drift_pct']:+.3f}%), "
-              f"fit_rel_err {rec.fit_rel_err:.2e}", flush=True)
-
-    out = REPO / "artifacts/recurrent_drift.json"
+    suffix = "" if name == "1k" else f"_{name}"
+    out = REPO / f"artifacts/recurrent_drift{suffix}.json"
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
 
-def run_speed():
+def run_speed(name, preset):
     from hyena_dna_tpu.generation import generate as parallel_generate
     from hyena_dna_tpu.recurrent import distill
 
-    model, params = load_model_and_params()
+    model, params = load_model_and_params(preset)
     rec = distill(model, params, n_modes=64)
-    results = {}
+    results = {"preset": name}
     new_tokens = 256
-    for prompt_len in (1024, 8192, 32768):
+    for prompt_len in preset["prompts"]:
         rng = np.random.default_rng(0)
         prompt = jnp.asarray(
             rng.integers(7, 11, size=(1, prompt_len)), jnp.int32)
@@ -180,11 +197,14 @@ def run_speed():
               f"vs re-forward {new_tokens/dt_par:.1f} tok/s "
               f"({dt_par/dt_rec:.1f}x)", flush=True)
 
-    out = REPO / "artifacts/recurrent_speed.json"
+    suffix = "" if name == "1k" else f"_{name}"
+    out = REPO / f"artifacts/recurrent_speed{suffix}.json"
     out.write_text(json.dumps(results, indent=2))
     print(json.dumps(results))
 
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "drift"
-    (run_drift if mode == "drift" else run_speed)()
+    which = sys.argv[2] if len(sys.argv) > 2 else "1k"
+    preset = PRESETS[which]
+    (run_drift if mode == "drift" else run_speed)(which, preset)

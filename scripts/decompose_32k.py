@@ -146,6 +146,8 @@ if {"model_fwd", "model_train"} & set(want):
     model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
                             pad_vocab_size_multiple=8,
                             residual_in_fp32=RESID_F32,
+                            checkpoint_mixer=os.environ.get("DEC_CKPT_MIXER") == "1",
+                            checkpoint_mlp=os.environ.get("DEC_CKPT_MLP") == "1",
                             layer=layer, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                  jnp.zeros((1, L), jnp.int32))["params"]
