@@ -13,7 +13,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from hyena_dna_tpu.utils.tpu_flags import ensure_tpu_flags
 
 size = sys.argv[1] if len(sys.argv) > 1 else "2e20"
-N = {"2e19": 1 << 19, "2e20": 1 << 20, "2e21": 1 << 21}[size]
+N = {"2e17": 1 << 17, "2e18": 1 << 18, "2e19": 1 << 19, "2e20": 1 << 20,
+     "2e21": 1 << 21}[size]
 ensure_tpu_flags(max_seq_len=N // 2)
 
 import importlib

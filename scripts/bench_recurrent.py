@@ -163,14 +163,25 @@ def run_speed(name, preset):
         prompt = jnp.asarray(
             rng.integers(7, 11, size=(1, prompt_len)), jnp.int32)
 
-        # recurrent stepper: prefill scan + O(1) generation steps
-        gen_rec = jax.jit(lambda rec, p: rec.generate(p, new_tokens))
-        out = gen_rec(rec, prompt)
-        float(jnp.sum(out))  # hard sync (compile + warm)
-        t0 = time.perf_counter()
-        out = gen_rec(rec, prompt)
-        float(jnp.sum(out))
-        dt_rec = time.perf_counter() - t0
+        # recurrent stepper: prefill scan + O(1) generation steps. Timing
+        # at TWO generation lengths separates the one-time O(prompt)
+        # prefill from the steady per-token rate (at long prompts the
+        # prefill dominates a 256-token run and hides the actual
+        # generation rate).
+        gen_rec = jax.jit(lambda rec, p, n: rec.generate(p, n),
+                          static_argnums=2)
+        few = 16
+        dts = {}
+        for n in (few, new_tokens):
+            out = gen_rec(rec, prompt, n)
+            float(jnp.sum(out))  # hard sync (compile + warm)
+            t0 = time.perf_counter()
+            out = gen_rec(rec, prompt, n)
+            float(jnp.sum(out))
+            dts[n] = time.perf_counter() - t0
+        dt_rec = dts[new_tokens]
+        per_tok = (dts[new_tokens] - dts[few]) / (new_tokens - few)
+        prefill_s = max(dts[few] - few * per_tok, 0.0)
 
         # fixed-buffer re-forward loop (the only mode the reference has).
         # At long prompts 256 re-forward tokens is a single multi-minute
@@ -178,24 +189,39 @@ def run_speed(name, preset):
         # tokens there and report per-token rates (the loop's per-token
         # cost is constant: every step re-runs the full forward).
         par_tokens = new_tokens if prompt_len <= 8192 else 8
-        out = parallel_generate(model, params, prompt, par_tokens)
+        # build the jitted fn ONCE so the timed call is compile-free (the
+        # convenience wrapper makes a fresh closure — and thus a fresh
+        # compile — per call, which would unfairly bill the re-forward)
+        from hyena_dna_tpu.generation import make_generate_fn
+
+        total = prompt_len + par_tokens
+        buf = jnp.full((1, total), 4, prompt.dtype).at[:, :prompt_len].set(prompt)
+        fn = make_generate_fn(model, total)
+        out = fn(params, buf, jnp.asarray(prompt_len), jax.random.PRNGKey(0))
         float(jnp.sum(out))
         t0 = time.perf_counter()
-        out = parallel_generate(model, params, prompt, par_tokens)
+        out = fn(params, buf, jnp.asarray(prompt_len), jax.random.PRNGKey(1))
         float(jnp.sum(out))
         dt_par = (time.perf_counter() - t0) * (new_tokens / par_tokens)
 
+        par_per_tok = dt_par / new_tokens
         results[prompt_len] = {
             "new_tokens": new_tokens,
             "recurrent_s": round(dt_rec, 3),
             "recurrent_tok_s": round(new_tokens / dt_rec, 1),
+            "stepper_prefill_s": round(prefill_s, 3),
+            "stepper_steady_tok_s": round(1.0 / per_tok, 1),
             "reforward_s": round(dt_par, 3),
             "reforward_tok_s": round(new_tokens / dt_par, 1),
             "speedup": round(dt_par / dt_rec, 2),
+            "steady_speedup": round(par_per_tok / per_tok, 2),
         }
         print(f"prompt {prompt_len}: stepper {new_tokens/dt_rec:.1f} tok/s "
-              f"vs re-forward {new_tokens/dt_par:.1f} tok/s "
-              f"({dt_par/dt_rec:.1f}x)", flush=True)
+              f"end-to-end (steady {1.0/per_tok:.1f} tok/s after a "
+              f"{prefill_s:.2f}s prefill) vs re-forward "
+              f"{new_tokens/dt_par:.1f} tok/s "
+              f"(e2e {dt_par/dt_rec:.1f}x, steady {par_per_tok/per_tok:.1f}x)",
+              flush=True)
 
     suffix = "" if name == "1k" else f"_{name}"
     out = REPO / f"artifacts/recurrent_speed{suffix}.json"
