@@ -340,7 +340,7 @@ def _pallas_outer_plan(u, k, fft_size, gelu):
         return None
     from hyena_dna_tpu.ops import pallas_fftconv_n3 as _pfo
 
-    return _pfo.plan_outer(fft_size, u.shape[1], u.shape[-1])
+    return _pfo.plan_outer(fft_size, u.shape[1], u.shape[-1], u.shape[0])
 
 
 def _outer_pad(u, k, lp):

@@ -66,16 +66,35 @@ _COMPILER_PARAMS = pltpu.CompilerParams(
     vmem_limit_bytes=110 * 1024 * 1024)
 
 # n -> (n1, r, m). Gated by ops/fftconv.py's dispatch (plan_outer).
+# Round-4 extensions below 2^20, all measured on v5e at B=1, C=256
+# (scripts/bench_conv_outer.py; "chain" = the previously routed path):
+#   2^17: outer (4,256,128) train  9.8 ms vs packed-fused 13.8 (fwd 7.2/8.6)
+#   2^18: outer (16,128,128) train 17.7 ms vs packed-split 22.5 (fwd 10.8/12.6)
+#   2^19: outer (16,128,256) train 29.5 ms vs narrow 29.3 TIE, fwd 16.0
+#         vs 19.8 — the fwd win matters because long-context steps remat
+#         mixers (forward runs twice per step); 256k step 735 -> 682 ms.
 _OUTER_BY_N = {
+    1 << 17: (4, 256, 128),
+    1 << 18: (16, 128, 128),
+    1 << 19: (16, 128, 256),
     1 << 20: (16, 256, 256),
     1 << 21: (16, 512, 256),
 }
 
+# Below this size the batch-pair PACKED kernels (ops/pallas_fftconv.py)
+# win whenever they can pack (two real batch rows per complex transform —
+# at B=2 the packed conv costs ~one unpacked conv for two rows, beating
+# the outer kernel's per-row cost). The outer kernel takes these sizes
+# only when the batch is odd (unpackable, e.g. the B=1 long-context case).
+_OUTER_NEEDS_ODD_BATCH_BELOW = 1 << 19
 
-def plan_outer(n: int, c: int, seqlen: int):
+
+def plan_outer(n: int, c: int, seqlen: int, bsz: int = 1):
     """(n1, r, m) if the outer-radix fused kernel covers this conv."""
     spec = _OUTER_BY_N.get(n)
     if spec is None:
+        return None
+    if n < _OUTER_NEEDS_ODD_BATCH_BELOW and bsz % 2 == 0:
         return None
     n1, r, m = spec
     if seqlen > (n1 // 2) * r * m:
@@ -252,6 +271,16 @@ def _stage1_inverse_emit(hr_blocks, hi_blocks, inv_coefs, u_blocks, d_ref,
 
 def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
                        n1: int, r: int, m: int):
+    """Whole-conv program for one (channel, batch) row, per-q1 unrolled.
+
+    MXU note (round 4, measured): a restructured variant batched every
+    lane-contracting pass (forward pass-B, inverse pass-A — identical
+    across q1 blocks) into ONE (n1*r, m) matmul set via scratch staging,
+    lifting those matmuls from M=r to M=n1*r rows. On v5e at 2^20 it
+    measured 30.8 ms fwd vs this form's 29.5 AND took a pathological
+    22-minute Mosaic compile (the old balanced-3 kernel failed the same
+    way) — the VMEM staging round trips cost more than the extra matmul
+    pipeline efficiency buys. Kept per-q1."""
     nc = len(_CONST_KEYS)
     C = dict(zip(_CONST_KEYS, refs[:nc]))
     y_ref, ksr_ref, ksi_ref = refs[nc], refs[nc + 1], refs[nc + 2]

@@ -105,7 +105,9 @@ def test_routed_custom_vjp_grads(monkeypatch, f32_kernel):
     n = n1 * r * m
     monkeypatch.setitem(PO._OUTER_BY_N, n, (n1, r, m))
     monkeypatch.setattr(F, "PALLAS_FFTCONV_INTERPRET", True)
-    u, k, D = _data(2, 2, n // 2, seed=4)
+    # odd batch: below 2^19 the dispatch hands even batches to the packed
+    # kernels (batch-pair transforms beat the per-row outer kernel there)
+    u, k, D = _data(3, 2, n // 2, seed=4)
 
     # the plan must actually engage (otherwise this test silently passes
     # through the jnp path)
@@ -122,3 +124,23 @@ def test_routed_custom_vjp_grads(monkeypatch, f32_kernel):
     for a, b in [(gu, ru), (gk, rk), (gD, rD)]:
         rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
         assert rel < 2e-3, rel
+
+
+def test_plan_outer_batch_gate():
+    """Below 2^19 the outer plan engages only for odd (unpackable) batches;
+    at 2^19+ it engages regardless of batch parity."""
+    for n in (1 << 17, 1 << 18):
+        spec = PO._OUTER_BY_N[n]
+        n1, r, m = spec
+        L = (n1 // 2) * r * m
+        assert PO.plan_outer(n, 256, L, bsz=1) == spec
+        assert PO.plan_outer(n, 256, L, bsz=3) == spec
+        assert PO.plan_outer(n, 256, L, bsz=2) is None
+        assert PO.plan_outer(n, 256, L, bsz=4) is None
+    for n in (1 << 19, 1 << 20, 1 << 21):
+        spec = PO._OUTER_BY_N[n]
+        n1, r, m = spec
+        L = (n1 // 2) * r * m
+        assert PO.plan_outer(n, 256, L, bsz=2) == spec
+        # seqlen past the causal-zero-pad capacity never plans
+        assert PO.plan_outer(n, 256, L + 1, bsz=1) is None
