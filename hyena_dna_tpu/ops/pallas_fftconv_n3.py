@@ -145,49 +145,72 @@ def _consts_outer(n1: int, r: int, m: int):
     """DFT matrices + twiddle tables, built with jnp ops (NOT numpy
     literals: a (n1*r, m) table inlined as an HLO constant puts megabytes
     into the serialized module — enough to break remote-compile payload
-    limits — whereas the iota+cos graph is a few ops that XLA folds)."""
+    limits — whereas the iota+cos graph is a few ops that XLA folds).
+
+    Round-4 twiddle fold: the outer twiddle is separable,
+    W_n^{q1(b*m+c)} = A[q1,b] * B[q1,c] with A = W_{n1*r}^{q1 b} and
+    B = W_n^{q1 c}. A folds into per-q1 pass-A matrices
+    (frq[q1*r+beta, b] = F_r[beta,b] * A[q1,b]; the inverse's conjugate
+    folds into qrq the same way) and B folds into the sub twiddle
+    (twf[q1*r+beta, c] = W_{rm}^{beta c} * B[q1,c]; the inverse twiddle is
+    exactly conj(twf)). This deletes one full elementwise complex multiply
+    per point per transform — measured ~2 ms/conv-fwd of VPU time at 2^20
+    — at the cost of n1-stacked (n1*r, r) matrix tables. All four tables
+    share the angle form +-2*pi * col * (beta*n1 + q1) / period."""
     n = n1 * r * m
-    npts = r * m
     f32 = jnp.float32
 
-    def outer_angle(period, rows, cols):
-        # digit products are exact f32 integers (< 2^24 for every planned
-        # size); reduce mod the period BEFORE scaling so cos/sin arguments
-        # stay in [0, 2*pi) — f32 cos at thousands of radians drifts ~1e-4
-        ri = jax.lax.broadcasted_iota(f32, (rows, cols), 0)
-        ci = jax.lax.broadcasted_iota(f32, (rows, cols), 1)
-        return (-2.0 * math.pi / period) * jnp.mod(ri * ci, period)
+    def stacked_angle(sign, period, dim1, cols, cross_row=False):
+        """angle[q1, d1, c] = sign * 2*pi/period * mod(d1*c*n1 + q1*x,
+        period) with x = c (forward tables: the A/B factors attach to the
+        data index, which is the matrix COLUMN) or x = d1 when cross_row
+        (the inverse matrix qrq: conj(A[q1,b]) scales output ROWS b).
+        Digit products stay < 2^24 (exact in f32) for every planned size;
+        reduce mod the period BEFORE scaling so cos/sin arguments stay in
+        [0, 2*pi) — f32 cos at thousands of radians drifts ~1e-4."""
+        q1 = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 0)
+        d1 = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 1)
+        ci = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 2)
+        x = d1 if cross_row else ci
+        ang = (sign * 2.0 * math.pi / period) * jnp.mod(
+            jnp.mod(d1 * ci * n1, float(period)) + q1 * x, float(period))
+        return ang.reshape(n1 * dim1, cols)
 
     def dft(k):
-        ang = outer_angle(k, k, k)
+        ri = jax.lax.broadcasted_iota(f32, (k, k), 0)
+        ci = jax.lax.broadcasted_iota(f32, (k, k), 1)
+        ang = (-2.0 * math.pi / k) * jnp.mod(ri * ci, float(k))
         return jnp.cos(ang), jnp.sin(ang)
 
-    frr, fri = dft(r)
     fmr, fmi = dft(m)
-    # sub twiddle W_{rm}^{beta c}: (r, m)
-    ang = outer_angle(npts, r, m)
-    twr, twi = jnp.cos(ang), jnp.sin(ang)
-    # outer twiddle W_n^{q1 s} in (n1*r, m) layout: row = q1*r + b, col = c
-    q1 = jax.lax.broadcasted_iota(f32, (n1, r, m), 0)
-    s = (jax.lax.broadcasted_iota(f32, (n1, r, m), 1) * m
-         + jax.lax.broadcasted_iota(f32, (n1, r, m), 2))
-    ang1 = (-2.0 * math.pi / n) * jnp.mod(q1 * s, float(n))
+    p1 = n1 * r
+    # frq[q1*r+beta, b] = F_r[beta,b] * A[q1,b]: rows (q1, beta), cols b
+    afr = stacked_angle(-1.0, p1, r, r)
+    frq_r, frq_i = jnp.cos(afr), jnp.sin(afr)
+    # qrq[q1*r+b, beta] = conj(F_r[b,beta] * A[q1,b]) / r: rows (q1, b) —
+    # the conj(A) factor scales output ROWS b, hence cross_row
+    aqr = stacked_angle(+1.0, p1, r, r, cross_row=True)
+    qrq_r, qrq_i = jnp.cos(aqr) / r, jnp.sin(aqr) / r
+    # twf[q1*r+beta, c] = W_{rm}^{beta c} * W_n^{q1 c}: rows (q1, beta)
+    atw = stacked_angle(-1.0, n, r, m)
     out = dict(
-        frr=frr, fri=fri, frs=frr + fri,
+        frq_r=frq_r.astype(_STORE_DTYPE),
+        frq_i=frq_i.astype(_STORE_DTYPE),
+        frq_s=(frq_r + frq_i).astype(_STORE_DTYPE),
         fmr=fmr, fmi=fmi, fms=fmr + fmi,
-        twr=twr, twi=twi,
-        # inverse matrices (conjugated, normalized)
-        qrr=frr / r, qri=-fri / r, qrs=(frr - fri) / r,
+        qrq_r=qrq_r.astype(_STORE_DTYPE),
+        qrq_i=qrq_i.astype(_STORE_DTYPE),
+        qrq_s=(qrq_r + qrq_i).astype(_STORE_DTYPE),
         qmr=fmr / m, qmi=-fmi / m, qms=(fmr - fmi) / m,
-        # big tables ride as bf16 (the kernel computes in bf16 anyway)
-        t1r=jnp.cos(ang1).reshape(n1 * r, m).astype(_STORE_DTYPE),
-        t1i=jnp.sin(ang1).reshape(n1 * r, m).astype(_STORE_DTYPE),
+        twf_r=jnp.cos(atw).astype(_STORE_DTYPE),
+        twf_i=jnp.sin(atw).astype(_STORE_DTYPE),
     )
     return out
 
 
-_CONST_KEYS = ("frr", "fri", "frs", "fmr", "fmi", "fms", "twr", "twi",
-               "qrr", "qri", "qrs", "qmr", "qmi", "qms", "t1r", "t1i")
+_CONST_KEYS = ("frq_r", "frq_i", "frq_s", "fmr", "fmi", "fms",
+               "qrq_r", "qrq_i", "qrq_s", "qmr", "qmi", "qms",
+               "twf_r", "twf_i")
 
 
 def _stage1_block(x_blocks, coefs, q1):
@@ -209,43 +232,39 @@ def _stage1_block(x_blocks, coefs, q1):
 
 
 def _fwd_block(x_blocks, coefs, q1, r, C):
-    """One q1 row-block of the forward transform: stage-1 combo + outer
-    twiddle + complex 2-factor sub-FFT. Returns spectrum pair (r, m)."""
+    """One q1 row-block of the forward transform: stage-1 combo + twiddle-
+    folded pass-A + combined sub twiddle + pass-B. Returns (r, m) pair."""
     st = _STORE_DTYPE
     gr, gi = _stage1_block(x_blocks, coefs, q1)
-    if q1 == 0:
-        # W^0 twiddle is identity and the imag part is exactly zero:
-        # real-input sub-FFT, 2 matmuls in pass A.
-        gr = gr.astype(st)
-        ar = _mm(C["frr"][:], gr)
-        ai = _mm(C["fri"][:], gr)
+    sl = slice(q1 * r, (q1 + 1) * r)
+    gr = gr.astype(st)
+    if gi is None:
+        # all-real stage-1 coefficients (q1 = 0 and q1 = n1/2):
+        # real-input pass A, 2 matmuls
+        ar = _mm(C["frq_r"][sl, :], gr)
+        ai = _mm(C["frq_i"][sl, :], gr)
     else:
-        t1r = C["t1r"][q1 * r:(q1 + 1) * r, :]
-        t1i = C["t1i"][q1 * r:(q1 + 1) * r, :]
-        gr = gr.astype(st)
-        gi = (jnp.zeros_like(gr) if gi is None else gi.astype(st))
-        gr, gi = gr * t1r - gi * t1i, gr * t1i + gi * t1r
-        ar, ai = _kara_l(C["frr"], C["fri"], C["frs"], gr, gi)
-    twr = C["twr"][:].astype(st)
-    twi = C["twi"][:].astype(st)
+        gi = gi.astype(st)
+        ar, ai = _kara_l(C["frq_r"][sl, :], C["frq_i"][sl, :],
+                         C["frq_s"][sl, :], gr, gi)
+    twr = C["twf_r"][sl, :].astype(st)
+    twi = C["twf_i"][sl, :].astype(st)
     ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
     return _kara_r(ar, ai, C["fmr"], C["fmi"], C["fms"])
 
 
 def _inv_block(wr, wi, q1, r, C):
-    """One q1 row-block of the inverse: sub-IFFT + conj outer twiddle.
-    Returns the H block pair (r, m) feeding the final stage-1 combo."""
+    """One q1 row-block of the inverse: sub-IFFT with the conj outer
+    twiddle folded into conj(twf) and the qrq matrices. Returns the H
+    block pair (r, m) feeding the final stage-1 combo."""
     st = _STORE_DTYPE
     ar, ai = _kara_r(wr, wi, C["qmr"], C["qmi"], C["qms"])
-    twr = C["twr"][:].astype(st)
-    twi = C["twi"][:].astype(st)
-    ar, ai = ar * twr + ai * twi, ai * twr - ar * twi  # conj sub twiddle
-    hr, hi = _kara_l(C["qrr"], C["qri"], C["qrs"], ar, ai)
-    if q1:
-        t1r = C["t1r"][q1 * r:(q1 + 1) * r, :]
-        t1i = C["t1i"][q1 * r:(q1 + 1) * r, :]
-        hr, hi = hr * t1r + hi * t1i, hi * t1r - hr * t1i  # conj outer
-    return hr, hi
+    sl = slice(q1 * r, (q1 + 1) * r)
+    twr = C["twf_r"][sl, :].astype(st)
+    twi = C["twf_i"][sl, :].astype(st)
+    ar, ai = ar * twr + ai * twi, ai * twr - ar * twi  # conj combined tw
+    return _kara_l(C["qrq_r"][sl, :], C["qrq_i"][sl, :],
+                   C["qrq_s"][sl, :], ar, ai)
 
 
 def _read_blocks(ref, h1, r):
@@ -356,8 +375,8 @@ def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
 
 def _fwd_block_dyn(x_ref, c1r, c1i, q1, h1, r, C, sub=(0, 0)):
     """Forward transform block for a DYNAMIC q1 (fori_loop body): stage-1
-    coefficients come from SMEM, the outer twiddle is always applied (its
-    q1=0 row is exactly (1, 0))."""
+    coefficients come from SMEM; the outer twiddle rides inside the
+    q1-sliced frq matrices + combined twf table (see _consts_outer)."""
     st = _STORE_DTYPE
     gr = None
     gi = None
@@ -367,29 +386,26 @@ def _fwd_block_dyn(x_ref, c1r, c1i, q1, h1, r, C, sub=(0, 0)):
         ti = xb * c1i[q1, a1]
         gr = tr if gr is None else gr + tr
         gi = ti if gi is None else gi + ti
-    t1r = C["t1r"][pl.ds(q1 * r, r), :]
-    t1i = C["t1i"][pl.ds(q1 * r, r), :]
-    gr = gr.astype(st)
-    gi = gi.astype(st)
-    gr, gi = gr * t1r - gi * t1i, gr * t1i + gi * t1r
-    ar, ai = _kara_l(C["frr"], C["fri"], C["frs"], gr, gi)
-    twr = C["twr"][:].astype(st)
-    twi = C["twi"][:].astype(st)
+    sl = pl.ds(q1 * r, r)
+    ar, ai = _kara_l(C["frq_r"][sl, :], C["frq_i"][sl, :], C["frq_s"][sl, :],
+                     gr.astype(st), gi.astype(st))
+    twr = C["twf_r"][sl, :].astype(st)
+    twi = C["twf_i"][sl, :].astype(st)
     ar, ai = ar * twr - ai * twi, ar * twi + ai * twr
     return _kara_r(ar, ai, C["fmr"], C["fmi"], C["fms"])
 
 
 def _inv_block_dyn(wr, wi, q1, r, C):
-    """Inverse block for a DYNAMIC q1: conj outer twiddle always applied."""
+    """Inverse block for a DYNAMIC q1: conj outer twiddle folded into
+    conj(twf) + the qrq matrices."""
     st = _STORE_DTYPE
     ar, ai = _kara_r(wr, wi, C["qmr"], C["qmi"], C["qms"])
-    twr = C["twr"][:].astype(st)
-    twi = C["twi"][:].astype(st)
+    sl = pl.ds(q1 * r, r)
+    twr = C["twf_r"][sl, :].astype(st)
+    twi = C["twf_i"][sl, :].astype(st)
     ar, ai = ar * twr + ai * twi, ai * twr - ar * twi
-    hr, hi = _kara_l(C["qrr"], C["qri"], C["qrs"], ar, ai)
-    t1r = C["t1r"][pl.ds(q1 * r, r), :]
-    t1i = C["t1i"][pl.ds(q1 * r, r), :]
-    return hr * t1r + hi * t1i, hi * t1r - hr * t1i
+    return _kara_l(C["qrq_r"][sl, :], C["qrq_i"][sl, :], C["qrq_s"][sl, :],
+                   ar, ai)
 
 
 def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,

@@ -138,18 +138,18 @@ def _fwd_block_notw(x_blocks, coefs, q1, C):
     gr, gi = _stage1_block(x_blocks, coefs, q1)
     if q1 == 0:
         gr = gr.astype(st)
-        ar = _mm(C["frr"][:], gr)
+        ar = _mm(C["frq_r"][:r], gr)
         ai = _mm(C["fri"][:], gr)
     else:
         gr = gr.astype(st)
         gi = (jnp.zeros_like(gr) if gi is None else gi.astype(st))
-        ar, ai = _kara_l(C["frr"], C["fri"], C["frs"], gr, gi)
+        ar, ai = _kara_l(C["frq_r"][:r], C["frq_i"][:r], C["frq_s"][:r], gr, gi)
     return _kara_r(ar, ai, C["fmr"], C["fmi"], C["fms"])
 
 
 def _inv_block_notw(wr, wi, C):
     ar, ai = _kara_r(wr, wi, C["qmr"], C["qmi"], C["qms"])
-    return _kara_l(C["qrr"], C["qri"], C["qrs"], ar, ai)
+    return _kara_l(C["qrq_r"][:r], C["qrq_i"][:r], C["qrq_s"][:r], ar, ai)
 
 
 def notwiddle_kernel(u_ref, k_ref, d_ref, *refs):
