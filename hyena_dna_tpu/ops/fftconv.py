@@ -821,6 +821,10 @@ PALLAS_GATED_FFTCONV = os.environ.get("HYENA_GATED_CONV", "0") == "1"
 #   "retransform": fwd saves nothing; bwd re-transforms u AND recomputes v
 #                  (most MXU, least HBM).
 PALLAS_GATED_MODE = os.environ.get("HYENA_GATED_MODE", "specv")
+if PALLAS_GATED_MODE not in ("specv", "spec", "retransform"):
+    raise ValueError(
+        f"HYENA_GATED_MODE={PALLAS_GATED_MODE!r} is not one of "
+        "'specv'/'spec'/'retransform'")
 
 
 def _gated_plan(u, k, fft_size):
@@ -879,6 +883,10 @@ def _fftconv_gated_fwd(u, x0, k, D):
     d_arr = _gated_d_arr(D, u.shape[1])
     spec_bytes = 2 * 2 * (u.shape[0] // 2) * u.shape[1] * fft_size
     mode = PALLAS_GATED_MODE
+    if mode == "specv":
+        # the saved ungated conv output v is part of the HBM residual
+        # footprint too (same size as the padded u, bf16)
+        spec_bytes += 2 * u.shape[0] * u.shape[1] * lp
     if spec_bytes > pallas_save_spec_max_bytes():
         mode = "retransform"
     if mode == "specv":
@@ -906,7 +914,13 @@ def _fftconv_gated_bwd(res, dy):
     u, x0, k, D, spec = res
     seqlen = dy.shape[-1]
     fft_size = next_fast_fft_size(2 * seqlen)
-    r, m, cb = _gated_plan(x0, k, fft_size)
+    plan = _gated_plan(x0, k, fft_size)
+    if plan is None:
+        raise RuntimeError(
+            "fftconv_gated backward: _gated_plan no longer covers the "
+            "shape it planned in forward (flag mutated between fwd and "
+            "bwd?); cannot select a backward kernel")
+    r, m, cb = plan
     lp = (r // 2) * m
     dy_in = _gated_pad(dy, lp)
     x0_in = _gated_pad(x0, lp)

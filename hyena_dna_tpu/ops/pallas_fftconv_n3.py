@@ -89,7 +89,7 @@ _OUTER_BY_N = {
 _OUTER_NEEDS_ODD_BATCH_BELOW = 1 << 19
 
 
-def plan_outer(n: int, c: int, seqlen: int, bsz: int = 1):
+def plan_outer(n: int, c: int, seqlen: int, bsz: int):
     """(n1, r, m) if the outer-radix fused kernel covers this conv."""
     spec = _OUTER_BY_N.get(n)
     if spec is None:

@@ -325,28 +325,25 @@ def write_only():
     full output instead with a tiny input derived from the carry.)"""
     nb_r, nb_l = 16, 16
     br, bl = 256 // nb_r, lp // nb_l
-    in_spec = pl.BlockSpec((8, 128), lambda i, j: (0, 0),
+    # one real block, constant index_map: fetched once, so input traffic
+    # is negligible next to the 268 MB written
+    in_spec = pl.BlockSpec((br, bl), lambda i, j: (0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((br, bl), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
 
     def kern(t_ref, y_ref):
-        y_ref[...] = jnp.broadcast_to(t_ref[0, 0], y_ref.shape).astype(
-            y_ref.dtype)
+        y_ref[...] = t_ref[...] * jnp.bfloat16(1.001)
 
-    def run(tok):
+    def run(x2):
         return pl.pallas_call(
             kern, grid=(nb_r, nb_l), in_specs=[in_spec], out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((256, lp), jnp.bfloat16),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
-        )(tok)
+        )(x2)
 
-    def f(x2):
-        y = run(x2[:8, :128] * jnp.bfloat16(1e-3))
-        return y
-
-    return f
+    return run
 
 
 def manual2(depth, rows):
@@ -400,7 +397,9 @@ def manual2(depth, rows):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((256, lp), x2.dtype),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                vmem_limit_bytes=110 * 1024 * 1024),
         )(x2)
 
     return run
@@ -440,7 +439,7 @@ while i < len(WANT):
         u2 = u.reshape(C, lp)
         timeit("read-only", read_only(), u2, nbytes=u2.size * 2)
         timeit("write-only", write_only(), u2, nbytes=u2.size * 2)
-        for d, rows in ((2, 8), (4, 8), (4, 16), (8, 4)):
+        for d, rows in ((2, 8), (4, 8), (8, 2), (8, 8), (16, 2)):
             timeit(f"manual2 d={d} rows={rows}", manual2(d, rows), u2)
     elif w == "reshonly":
         # cost of the (B,C,lp)<->(B,C,h1*r,m) relayout alone, chained
