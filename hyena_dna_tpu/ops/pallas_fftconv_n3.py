@@ -41,6 +41,15 @@ r=m=256) vs the direct 2-factor's 3*(1024+1024); stage 1 adds n1 VPU
 MACs/point. The whole conv (both transforms, bin multiply, inverse,
 D-skip) runs in one kernel: one HBM round trip vs the chain's ~6.
 
+HERMITIAN HALVING (round 5): all inputs are real, so every spectrum is
+Hermitian and the q1 row-blocks pair conjugately — with the folded
+twiddles, T_{n1-q1}(s) = conj(T_{q1}(s)) exactly. Only blocks
+q1 = 0..n1/2 are computed anywhere (9 of 16 at n1=16) and the inverse
+emit doubles the interior blocks' real combos: ~44% less MXU/VPU work
+and ~44% smaller const tables/scratch, identical math (see
+_stage1_coefs). The reference's cuFFT path gets the same factor from
+R2C/C2R plans; its fused kernel caps at fft 16384 regardless.
+
 Replaces the reference's long-context conv path, which has no fused
 kernel at these sizes (its CUDA fftconv caps at fft_size 16384,
 /root/reference/csrc/fftconv/fftconv.cpp:114-115; beyond that it runs
@@ -127,17 +136,30 @@ def _kara_r(ar, ai, br, bi, bs):
 
 
 def _stage1_coefs(n1: int):
-    """Python-float coefficient tables for the outer radix.
+    """Python-float coefficient tables for the outer radix, HERMITIAN-HALVED.
 
-    fwd[q1][a1] = W_n1^{a1 q1} (complex, as (re, im) pair);
-    inv[a1][q1] = W_n1^{-a1 q1} / n1.
+    All conv inputs are real, so every spectrum the kernel touches is
+    Hermitian and the q1 row-blocks pair up exactly: with the folded
+    twiddles, T_{n1-q1}(s) = conj(T_{q1}(s)) and the outer inverse
+    coefficient conjugates the same way, so block (n1-q1)'s contribution
+    to the (real) output is the conjugate of block q1's. Only blocks
+    q1 = 0..n1/2 are therefore computed ANYWHERE (fwd, product, inverse,
+    emit) — 9 of 16 at n1=16 — and the inverse emit doubles the real
+    combo for the interior blocks 0 < q1 < n1/2. ~44% less MXU/VPU work
+    and VMEM than the full-block kernel at identical math.
+
+    fwd[q1][a1] = W_n1^{a1 q1} (complex, as (re, im) pair), q1 <= n1/2;
+    inv[a1][q1] = w * W_n1^{-a1 q1} / n1 with w = 2 for 0 < q1 < n1/2.
     """
+    h1 = n1 // 2
     fwd = [[(math.cos(2 * math.pi * a1 * q1 / n1),
              -math.sin(2 * math.pi * a1 * q1 / n1))
-            for a1 in range(n1 // 2)] for q1 in range(n1)]
-    inv = [[(math.cos(2 * math.pi * a1 * q1 / n1) / n1,
+            for a1 in range(h1)] for q1 in range(h1 + 1)]
+    inv = [[((2.0 if 0 < q1 < h1 else 1.0) *
+             math.cos(2 * math.pi * a1 * q1 / n1) / n1,
+             (2.0 if 0 < q1 < h1 else 1.0) *
              math.sin(2 * math.pi * a1 * q1 / n1) / n1)
-            for q1 in range(n1)] for a1 in range(n1 // 2)]
+            for q1 in range(h1 + 1)] for a1 in range(h1)]
     return fwd, inv
 
 
@@ -167,14 +189,18 @@ def _consts_outer(n1: int, r: int, m: int):
         (the inverse matrix qrq: conj(A[q1,b]) scales output ROWS b).
         Digit products stay < 2^24 (exact in f32) for every planned size;
         reduce mod the period BEFORE scaling so cos/sin arguments stay in
-        [0, 2*pi) — f32 cos at thousands of radians drifts ~1e-4."""
-        q1 = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 0)
-        d1 = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 1)
-        ci = jax.lax.broadcasted_iota(f32, (n1, dim1, cols), 2)
+        [0, 2*pi) — f32 cos at thousands of radians drifts ~1e-4.
+
+        Hermitian halving: only q1 = 0..n1/2 rows are ever consumed (see
+        _stage1_coefs), so the tables stack hq = n1/2 + 1 blocks."""
+        hq = n1 // 2 + 1
+        q1 = jax.lax.broadcasted_iota(f32, (hq, dim1, cols), 0)
+        d1 = jax.lax.broadcasted_iota(f32, (hq, dim1, cols), 1)
+        ci = jax.lax.broadcasted_iota(f32, (hq, dim1, cols), 2)
         x = d1 if cross_row else ci
         ang = (sign * 2.0 * math.pi / period) * jnp.mod(
             jnp.mod(d1 * ci * n1, float(period)) + q1 * x, float(period))
-        return ang.reshape(n1 * dim1, cols)
+        return ang.reshape(hq * dim1, cols)
 
     def dft(k):
         ri = jax.lax.broadcasted_iota(f32, (k, k), 0)
@@ -272,11 +298,13 @@ def _read_blocks(ref, h1, r):
 
 
 def _stage1_inverse_emit(hr_blocks, hi_blocks, inv_coefs, u_blocks, d_ref,
-                         y_ref, h1, r, n1):
-    """Final combo: y[a1] = sum_q1 (Hr*cos - Hi*sin)/n1 + u*D, per block."""
+                         y_ref, h1, r, nq):
+    """Final combo: y[a1] = sum_{q1<=n1/2} w*Re(coef * H_q1) + u*D per
+    block — the Hermitian-paired upper blocks ride inside the doubled
+    interior coefficients (see _stage1_coefs)."""
     for a1 in range(h1):
         acc = None
-        for q1 in range(n1):
+        for q1 in range(nq):
             cr, ci = inv_coefs[a1][q1]
             if abs(cr) > 1e-12:
                 t = hr_blocks[q1] if cr == 1.0 else hr_blocks[q1] * cr
@@ -305,6 +333,7 @@ def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
     y_ref, ksr_ref, ksi_ref = refs[nc], refs[nc + 1], refs[nc + 2]
     st = _STORE_DTYPE
     h1 = n1 // 2
+    hq = h1 + 1  # Hermitian-halved block count (see _stage1_coefs)
     fwd_c, inv_c = _stage1_coefs(n1)
     bi = pl.program_id(1)
 
@@ -312,7 +341,7 @@ def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
     def _():
         kb = _read_blocks(k_ref[0], h1, r)
         kb = [x.astype(jnp.float32) for x in kb]
-        for q1 in range(n1):
+        for q1 in range(hq):
             zr, zi = _fwd_block(kb, fwd_c, q1, r, C)
             ksr_ref[q1 * r:(q1 + 1) * r, :] = zr
             ksi_ref[q1 * r:(q1 + 1) * r, :] = zi
@@ -321,7 +350,7 @@ def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
     ub_f32 = [x.astype(jnp.float32) for x in ub]
     hr_blocks = []
     hi_blocks = []
-    for q1 in range(n1):
+    for q1 in range(hq):
         zr, zi = _fwd_block(ub_f32, fwd_c, q1, r, C)
         kr = ksr_ref[q1 * r:(q1 + 1) * r, :].astype(st)
         ki = ksi_ref[q1 * r:(q1 + 1) * r, :].astype(st)
@@ -329,7 +358,7 @@ def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
         hr_blocks.append(hr.astype(jnp.float32))
         hi_blocks.append(hi.astype(jnp.float32))
     _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, ub_f32, d_ref,
-                         y_ref, h1, r, n1)
+                         y_ref, h1, r, hq)
 
 
 def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
@@ -362,8 +391,8 @@ def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
         out_specs=io_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, c, h1 * r, m), u.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
@@ -423,6 +452,7 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
     ksr_ref, ksi_ref, pr_ref, pi_ref, hr_ref, hi_ref = refs[nc + 3:nc + 9]
     st = _STORE_DTYPE
     h1 = n1 // 2
+    hq = h1 + 1  # Hermitian-halved block count (see _stage1_coefs)
     bi = pl.program_id(1)
     nb = pl.num_programs(1)
 
@@ -434,7 +464,7 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
             ksi_ref[pl.ds(q1 * r, r), :] = -zi  # conj: correlation
             return 0
 
-        jax.lax.fori_loop(0, n1, kbody, 0)
+        jax.lax.fori_loop(0, hq, kbody, 0)
 
     def body(q1, _):
         ur, ui = _fwd_block_dyn(u_ref, c1r, c1i, q1, h1, r, C)
@@ -461,23 +491,27 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
 
         return 0
 
-    jax.lax.fori_loop(0, n1, body, 0)
+    jax.lax.fori_loop(0, hq, body, 0)
 
     # du = stage-1 inverse of the H blocks + dy * D, one a1 block at a time
+    # (i1r/i1i carry the Hermitian doubling for interior q1)
     for a1 in range(h1):
         def emit(q1, acc, a1=a1):
             sl = pl.ds(q1 * r, r)
             return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
                     - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
 
-        acc = jax.lax.fori_loop(0, n1, emit, jnp.zeros((r, m), jnp.float32))
+        acc = jax.lax.fori_loop(0, hq, emit, jnp.zeros((r, m), jnp.float32))
         dyb = dy_ref[0, 0, a1 * r:(a1 + 1) * r, :].astype(jnp.float32)
         du = acc + dyb * d_ref[0, :, :1]
         du_ref[0, 0, a1 * r:(a1 + 1) * r, :] = du.astype(du_ref.dtype)
 
     @pl.when(bi == nb - 1)
     def _():
-        # inverse of the accumulated dk spectrum, reusing the H scratch
+        # inverse of the accumulated dk spectrum, reusing the H scratch.
+        # Parseval dD sums the P spectrum: pair blocks contribute their
+        # conjugates, so interior blocks are doubled and the global
+        # imaginary parts cancel — only the real sums are accumulated.
         def inv_body(q1, dd):
             sl = pl.ds(q1 * r, r)
             spr = pr_ref[sl, :]
@@ -485,16 +519,17 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
             hr, hi = _inv_block_dyn(spr.astype(st), spi.astype(st), q1, r, C)
             hr_ref[sl, :] = hr
             hi_ref[sl, :] = hi
-            return dd + jnp.sum(spr)
+            w = jnp.where((q1 > 0) & (q1 < h1), 2.0, 1.0)
+            return dd + w * jnp.sum(spr)
 
-        dd = jax.lax.fori_loop(0, n1, inv_body, jnp.zeros((), jnp.float32))
+        dd = jax.lax.fori_loop(0, hq, inv_body, jnp.zeros((), jnp.float32))
         for a1 in range(h1):
             def emit(q1, acc, a1=a1):
                 sl = pl.ds(q1 * r, r)
                 return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
                         - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
 
-            acc = jax.lax.fori_loop(0, n1, emit,
+            acc = jax.lax.fori_loop(0, hq, emit,
                                     jnp.zeros((r, m), jnp.float32))
             dk_ref[0, a1 * r:(a1 + 1) * r, :] = acc.astype(dk_ref.dtype)
         dd_ref[:] = jnp.full((1, 1, 128), dd / (n1 * r * m), jnp.float32)
@@ -557,12 +592,12 @@ def fftconv_outer_bwd(u, dy, k, D, n1: int, r: int, m: int,
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
-            pltpu.VMEM((n1 * r, m), jnp.float32),
-            pltpu.VMEM((n1 * r, m), jnp.float32),
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
-            pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), jnp.float32),
+            pltpu.VMEM(((h1 + 1) * r, m), jnp.float32),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
+            pltpu.VMEM(((h1 + 1) * r, m), _STORE_DTYPE),
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,

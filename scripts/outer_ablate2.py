@@ -80,20 +80,27 @@ print(f"[exec-floor {FLOOR*1e3:.1f} ms]", flush=True)
 
 
 def timeit(name, f):
+    """f(x4, k2, d) chained on x4. k/D ride as ARGUMENTS — a closed-over
+    512 MB array becomes an HLO constant serialized into the remote-
+    compile payload, which the axon tunnel uploads at ~kB/s (this is what
+    the round-4 'pathological 22-minute compiles' were)."""
+    k2 = k.reshape(C, h1 * r, m)
+    d3 = jnp.tile(jnp.asarray(D, jnp.float32).reshape(C, 1, 1), (1, 1, 128))
+
     @jax.jit
-    def loop(x0):
+    def loop(x0, k2, d3):
         def body(c, _):
-            return f(c).astype(c.dtype).reshape(c.shape), ()
+            return f(c, k2, d3).astype(c.dtype).reshape(c.shape), ()
         xf, _ = jax.lax.scan(body, x0, None, length=REPS)
         return jnp.sum(jnp.ravel(xf)[:1].astype(jnp.float32))
 
     t0 = time.perf_counter()
-    float(loop(u4))
+    float(loop(u4, k2, d3))
     dtc = time.perf_counter() - t0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(loop(u4))
+        float(loop(u4, k2, d3))
         ts.append(time.perf_counter() - t0)
     dt = (min(ts) - FLOOR) / REPS
     print(f"{name:12s} {dt*1e3:8.2f} ms (compile {dtc:.0f}s)", flush=True)
@@ -111,7 +118,7 @@ def launch(kernel_fn):
     io_spec = pl.BlockSpec((1, 1, h1 * r, m), lambda ci, bi: (bi, ci, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def run(x4):
+    def run(x4, k2, d3):
         return pl.pallas_call(
             kernel_fn,
             grid=(C, B),
@@ -130,10 +137,7 @@ def launch(kernel_fn):
                 pltpu.VMEM((n1 * r, m), _STORE_DTYPE),
             ],
             compiler_params=_COMPILER_PARAMS,
-        )(x4, k.reshape(C, h1 * r, m),
-          jnp.tile(jnp.asarray(D, jnp.float32).reshape(C, 1, 1),
-                   (1, 1, 128)),
-          *vals)
+        )(x4, k2, d3, *vals)
 
     return run
 
@@ -163,14 +167,14 @@ def nostage1_kernel(u_ref, k_ref, d_ref, *refs):
     @pl.when(bi == 0)
     def _():
         kb0 = k_ref[0, 0:r, :].astype(st)
-        for q1 in range(n1):
+        for q1 in range(h1 + 1):
             zr, zi = fake_fwd(kb0, q1)
             ksr_ref[q1 * r:(q1 + 1) * r, :] = zr
             ksi_ref[q1 * r:(q1 + 1) * r, :] = zi
 
     ub0 = u_ref[0, 0, 0:r, :].astype(st)
     acc = None
-    for q1 in range(n1):
+    for q1 in range(h1 + 1):
         zr, zi = fake_fwd(ub0, q1)
         kr = ksr_ref[q1 * r:(q1 + 1) * r, :].astype(st)
         ki = ksi_ref[q1 * r:(q1 + 1) * r, :].astype(st)
@@ -214,7 +218,7 @@ def notwiddle_kernel(u_ref, k_ref, d_ref, *refs):
     def _():
         kb = [x.astype(jnp.float32)
               for x in _read_blocks(k_ref[0], h1, r)]
-        for q1 in range(n1):
+        for q1 in range(h1 + 1):
             zr, zi = fwd_notw(kb, q1)
             ksr_ref[q1 * r:(q1 + 1) * r, :] = zr
             ksi_ref[q1 * r:(q1 + 1) * r, :] = zi
@@ -223,7 +227,7 @@ def notwiddle_kernel(u_ref, k_ref, d_ref, *refs):
     ub_f32 = [x.astype(jnp.float32) for x in ub]
     hr_blocks = []
     hi_blocks = []
-    for q1 in range(n1):
+    for q1 in range(h1 + 1):
         zr, zi = fwd_notw(ub_f32, q1)
         kr = ksr_ref[q1 * r:(q1 + 1) * r, :].astype(st)
         ki = ksi_ref[q1 * r:(q1 + 1) * r, :].astype(st)
@@ -231,7 +235,7 @@ def notwiddle_kernel(u_ref, k_ref, d_ref, *refs):
         hr_blocks.append(hr.astype(jnp.float32))
         hi_blocks.append(hi.astype(jnp.float32))
     _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, ub_f32, d_ref,
-                         y_ref, h1, r, n1)
+                         y_ref, h1, r, h1 + 1)
 
 
 WANT = sys.argv[3:] if len(sys.argv) > 3 else [
