@@ -441,11 +441,19 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
                       n1: int, r: int, m: int):
     """One-program recompute backward for one channel: transforms u and dy,
     emits du per batch, accumulates the dk spectrum in f32 scratch and runs
-    its inverse + Parseval dD on the last batch program. Mirrors
-    pallas_fftconv._bwd_full_kernel_1 in structure, but the per-q1 work
-    runs under fori_loop with SMEM stage-1 coefficients — an unrolled
-    3-transform program at these block counts exceeds the compile
-    pipeline's program-size limits."""
+    its inverse + Parseval dD on the last batch program.
+
+    Round 5: per-q1 work is UNROLLED with baked Python-float stage-1
+    coefficients (zero terms elided, +-1 multiplies folded), mirroring
+    the forward kernel. The round-4 fori_loop/SMEM form existed because
+    'an unrolled 3-transform program exceeds the compile pipeline's
+    program-size limits' — that limit was the remote-compile payload
+    chokepoint (closed-over constants), and Hermitian halving cut the
+    block count 16 -> 9 besides: the unrolled form compiles in ~30 s and
+    runs ~25-30% faster (no dynamic-slice addressing, real-coefficient
+    q1 = 0, n1/2 blocks drop a third of their matmuls). The SMEM c1r/c1i
+    inputs are retained in the signature (unused) so the launch shape is
+    unchanged."""
     nc = len(_CONST_KEYS)
     C = dict(zip(_CONST_KEYS, refs[:nc]))
     du_ref, dk_ref, dd_ref = refs[nc], refs[nc + 1], refs[nc + 2]
@@ -453,29 +461,31 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
     st = _STORE_DTYPE
     h1 = n1 // 2
     hq = h1 + 1  # Hermitian-halved block count (see _stage1_coefs)
+    fwd_c, inv_c = _stage1_coefs(n1)
     bi = pl.program_id(1)
     nb = pl.num_programs(1)
 
     @pl.when(bi == 0)
     def _():
-        def kbody(q1, _):
-            zr, zi = _fwd_block_dyn(k_ref, c1r, c1i, q1, h1, r, C, sub=(0,))
-            ksr_ref[pl.ds(q1 * r, r), :] = zr
-            ksi_ref[pl.ds(q1 * r, r), :] = -zi  # conj: correlation
-            return 0
+        kb = [x.astype(jnp.float32) for x in _read_blocks(k_ref[0], h1, r)]
+        for q1 in range(hq):
+            zr, zi = _fwd_block(kb, fwd_c, q1, r, C)
+            ksr_ref[q1 * r:(q1 + 1) * r, :] = zr
+            ksi_ref[q1 * r:(q1 + 1) * r, :] = -zi  # conj: correlation
 
-        jax.lax.fori_loop(0, hq, kbody, 0)
-
-    def body(q1, _):
-        ur, ui = _fwd_block_dyn(u_ref, c1r, c1i, q1, h1, r, C)
-        dr, di = _fwd_block_dyn(dy_ref, c1r, c1i, q1, h1, r, C)
-        sl = pl.ds(q1 * r, r)
+    ub = [x.astype(jnp.float32) for x in _read_blocks(u_ref[0, 0], h1, r)]
+    dyb = [x.astype(jnp.float32) for x in _read_blocks(dy_ref[0, 0], h1, r)]
+    hr_blocks = []
+    hi_blocks = []
+    for q1 in range(hq):
+        ur, ui = _fwd_block(ub, fwd_c, q1, r, C)
+        dr, di = _fwd_block(dyb, fwd_c, q1, r, C)
+        sl = slice(q1 * r, (q1 + 1) * r)
         kr = ksr_ref[sl, :].astype(st)
         ki = ksi_ref[sl, :].astype(st)
-        hr, hi = _inv_block_dyn(dr * kr - di * ki, dr * ki + di * kr,
-                                q1, r, C)
-        hr_ref[sl, :] = hr
-        hi_ref[sl, :] = hi
+        hr, hi = _inv_block(dr * kr - di * ki, dr * ki + di * kr, q1, r, C)
+        hr_blocks.append(hr.astype(jnp.float32))
+        hi_blocks.append(hi.astype(jnp.float32))
         pr = (dr * ur + di * ui).astype(jnp.float32)
         pi = (di * ur - dr * ui).astype(jnp.float32)
 
@@ -489,48 +499,39 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
             pr_ref[sl, :] = pr_ref[sl, :] + pr
             pi_ref[sl, :] = pi_ref[sl, :] + pi
 
-        return 0
-
-    jax.lax.fori_loop(0, hq, body, 0)
-
-    # du = stage-1 inverse of the H blocks + dy * D, one a1 block at a time
-    # (i1r/i1i carry the Hermitian doubling for interior q1)
-    for a1 in range(h1):
-        def emit(q1, acc, a1=a1):
-            sl = pl.ds(q1 * r, r)
-            return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
-                    - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
-
-        acc = jax.lax.fori_loop(0, hq, emit, jnp.zeros((r, m), jnp.float32))
-        dyb = dy_ref[0, 0, a1 * r:(a1 + 1) * r, :].astype(jnp.float32)
-        du = acc + dyb * d_ref[0, :, :1]
-        du_ref[0, 0, a1 * r:(a1 + 1) * r, :] = du.astype(du_ref.dtype)
+    # du = stage-1 inverse of the H blocks + dy * D (inv_c carries the
+    # Hermitian doubling for interior q1)
+    _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, dyb, d_ref,
+                         du_ref, h1, r, hq)
 
     @pl.when(bi == nb - 1)
     def _():
-        # inverse of the accumulated dk spectrum, reusing the H scratch.
-        # Parseval dD sums the P spectrum: pair blocks contribute their
-        # conjugates, so interior blocks are doubled and the global
-        # imaginary parts cancel — only the real sums are accumulated.
-        def inv_body(q1, dd):
-            sl = pl.ds(q1 * r, r)
+        # inverse of the accumulated dk spectrum. Parseval dD sums the P
+        # spectrum: pair blocks contribute their conjugates, so interior
+        # blocks are doubled and the global imaginary parts cancel — only
+        # the real sums are accumulated.
+        dd = jnp.zeros((), jnp.float32)
+        gr_blocks = []
+        gi_blocks = []
+        for q1 in range(hq):
+            sl = slice(q1 * r, (q1 + 1) * r)
             spr = pr_ref[sl, :]
             spi = pi_ref[sl, :]
-            hr, hi = _inv_block_dyn(spr.astype(st), spi.astype(st), q1, r, C)
-            hr_ref[sl, :] = hr
-            hi_ref[sl, :] = hi
-            w = jnp.where((q1 > 0) & (q1 < h1), 2.0, 1.0)
-            return dd + w * jnp.sum(spr)
-
-        dd = jax.lax.fori_loop(0, hq, inv_body, jnp.zeros((), jnp.float32))
+            gr, gi = _inv_block(spr.astype(st), spi.astype(st), q1, r, C)
+            gr_blocks.append(gr.astype(jnp.float32))
+            gi_blocks.append(gi.astype(jnp.float32))
+            w = 2.0 if 0 < q1 < h1 else 1.0
+            dd = dd + w * jnp.sum(spr)
         for a1 in range(h1):
-            def emit(q1, acc, a1=a1):
-                sl = pl.ds(q1 * r, r)
-                return (acc + hr_ref[sl, :].astype(jnp.float32) * i1r[a1, q1]
-                        - hi_ref[sl, :].astype(jnp.float32) * i1i[a1, q1])
-
-            acc = jax.lax.fori_loop(0, hq, emit,
-                                    jnp.zeros((r, m), jnp.float32))
+            acc = None
+            for q1 in range(hq):
+                cr, ci = inv_c[a1][q1]
+                if abs(cr) > 1e-12:
+                    t = gr_blocks[q1] if cr == 1.0 else gr_blocks[q1] * cr
+                    acc = t if acc is None else acc + t
+                if abs(ci) > 1e-12:
+                    t = gi_blocks[q1] if ci == 1.0 else gi_blocks[q1] * ci
+                    acc = -t if acc is None else acc - t
             dk_ref[0, a1 * r:(a1 + 1) * r, :] = acc.astype(dk_ref.dtype)
         dd_ref[:] = jnp.full((1, 1, 128), dd / (n1 * r * m), jnp.float32)
 
