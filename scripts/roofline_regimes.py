@@ -33,12 +33,15 @@ MODES = {
     "450k": dict(L=450048, rro=False, group=1, chunk=None, pallas=True),
     "1m": dict(L=1000448, rro=True, group=2, chunk=1 << 26, pallas=None),
 }
-# measured in round 4 (artifacts/long_context_r04.json)
-MEASURED_MS = {"64k": 153, "128k": 343, "256k": 682, "450k": 1202,
-               "1m": 3177}
-# chip calibration (scripts/roofline_32k.py -> artifacts/roofline_32k.json)
-BW_GBS = 438.4
-MXU_TF = 148.1
+# measured in round 5 with the Hermitian-halved outer conv
+# (scripts/bench_long_context.py, 2026-08-20)
+MEASURED_MS = {"64k": 125, "128k": 250, "256k": 508, "450k": 789,
+               "1m": 2122}
+# chip calibration (scripts/calibrate.py -> artifacts/hbm_calibration.json;
+# round 4's 438/148 anchors were timing-harness artifacts — see that
+# script's docstring for the three corrected bugs)
+BW_GBS = 650.9
+MXU_TF = 193.5
 
 want = sys.argv[1:] or list(MODES)
 ensure_tpu_flags(max_seq_len=max(MODES[m]["L"] for m in want))
@@ -81,9 +84,12 @@ def conv_flops(L, remat_fwd_twice: bool):
     n1, r, m = spec
     fwd_t = 2 * (2 if remat_fwd_twice else 1)
     bwd_t = 3
-    per_row_macs = n * 3 * (r + m)
+    # Hermitian halving: each transform computes hq = n1/2 + 1 of the n1
+    # q1 blocks (hq * r * m spectrum points at 3*(r+m) Karatsuba MACs)
+    hq = n1 // 2 + 1
+    per_row_macs = hq * r * m * 3 * (r + m)
     macs = (B * C * (fwd_t + bwd_t) + 2 * C) * per_row_macs
-    return 2.0 * macs * nl, f"outer({n1},{r},{m})"
+    return 2.0 * macs * nl, f"outer({n1},{r},{m})h{hq}"
 
 
 def analyze(mode):
