@@ -30,8 +30,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as fnn
-
 from hyena_dna_tpu.ops import fftconv
+from hyena_dna_tpu.ops.fftconv import CONV_OUT_TAG, tag_conv_out  # noqa: F401
 
 
 def positional_embedding_init(emb_dim: int, seq_len: int) -> jnp.ndarray:
@@ -212,7 +212,7 @@ class HyenaFilter(fnn.Module):
                     y = fftconv_aliased(x, k, bias_arr.reshape(c))
                 else:
                     y = fftconv_chunked(x, k, bias_arr.reshape(c), False)
-                return y.astype(x.dtype)
+                return tag_conv_out(y.astype(x.dtype))
             if x.ndim == 5 and x.shape[-3] == c:
                 b, ho, _, z, l = x.shape
                 xt = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(b * ho * z, c, l)
@@ -221,6 +221,6 @@ class HyenaFilter(fnn.Module):
                 else:
                     y = fftconv_chunked(xt, k, bias_arr.reshape(c), False)
                 y = jnp.transpose(y.reshape(b, ho, z, c, l), (0, 1, 3, 2, 4))
-                return y.astype(x.dtype)
+                return tag_conv_out(y.astype(x.dtype))
         y = fftconv(x, k, bias, False)
-        return y.astype(x.dtype)
+        return tag_conv_out(y.astype(x.dtype))

@@ -32,6 +32,7 @@ from flax import linen as fnn
 from hyena_dna_tpu.models.filters import HyenaFilter
 from hyena_dna_tpu.models.nn import activation_fn
 from hyena_dna_tpu.ops import short_conv_1d
+from hyena_dna_tpu.ops.fftconv import tag_conv_out
 from hyena_dna_tpu.ops.distributed import seq_fftconv, seq_short_conv
 
 # Sequence length from which the long-conv I/O (signal, gate, filter) is kept
@@ -402,6 +403,7 @@ class HyenaOperator(fnn.Module):
                     self.mesh,
                     seq_axis=self.seq_axis,
                 ).astype(v.dtype)
+                v = tag_conv_out(v)
             elif last:
                 v = fftconv_gated(
                     v, x[0].astype(v.dtype), k[i].astype(jnp.float32),
@@ -412,6 +414,7 @@ class HyenaOperator(fnn.Module):
                 v = fftconv_chunked(
                     v, k[i].astype(jnp.float32), bias[i].astype(jnp.float32), False
                 ).astype(v.dtype)
+                v = tag_conv_out(v)
 
         y = v if gated else v * x[0]
         y = jnp.swapaxes(y, -1, -2)  # (B, L, d)

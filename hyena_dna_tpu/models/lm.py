@@ -60,6 +60,12 @@ class LMBackbone(fnn.Module):
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
     remat_group_size: int = 1
+    # save tagged long-conv outputs across the remat boundary so the
+    # backward recompute skips the layer's most expensive op (the conv
+    # forward + its filter evaluation feed): +~1 activation tensor per
+    # layer of residency for ~a conv-forward per layer per step. See
+    # models/filters.py CONV_OUT_TAG.
+    remat_save_conv: bool = True
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -81,7 +87,7 @@ class LMBackbone(fnn.Module):
             block_cls = fnn.remat(
                 Block,
                 static_argnums=(3,),
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=self._remat_policy,
             )
         self.layers = [
             block_cls(
@@ -110,6 +116,14 @@ class LMBackbone(fnn.Module):
         self.ln_f = LayerNormF32(
             epsilon=self.layer_norm_epsilon, out_dtype=self.dtype, name="ln_f"
         )
+
+    @property
+    def _remat_policy(self):
+        if self.remat_save_conv:
+            from hyena_dna_tpu.models.filters import CONV_OUT_TAG
+
+            return jax.checkpoint_policies.save_only_these_names(CONV_OUT_TAG)
+        return jax.checkpoint_policies.nothing_saveable
 
     @property
     def _residual_cells(self) -> bool:
@@ -142,7 +156,7 @@ class LMBackbone(fnn.Module):
         cell = fnn.remat(
             LMBackbone._residual_cell,
             static_argnums=(2, 3),
-            policy=jax.checkpoint_policies.nothing_saveable,
+            policy=self._remat_policy,
         )
         for i in range(i0, i0 + g):
             carry = cell(self, carry, i, deterministic)
@@ -166,7 +180,7 @@ class LMBackbone(fnn.Module):
                 group = fnn.remat(
                     LMBackbone._residual_group,
                     static_argnums=(2, 3, 4),
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=self._remat_policy,
                 )
                 for i0 in range(0, self.n_layer, g):
                     residual = group(self, residual, i0,
@@ -175,13 +189,13 @@ class LMBackbone(fnn.Module):
                 cell = fnn.remat(
                     LMBackbone._residual_cell,
                     static_argnums=(2, 3),
-                    policy=jax.checkpoint_policies.nothing_saveable,
+                    policy=self._remat_policy,
                 )
                 for i in range(self.n_layer):
                     residual = cell(self, residual, i, deterministic)
             final_post = fnn.remat(
                 LMBackbone._final_post,
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=self._remat_policy,
             )
             hidden_states = final_post(self, residual)
         else:
@@ -221,6 +235,12 @@ class ConvLMHeadModel(fnn.Module):
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
     remat_group_size: int = 1
+    # save tagged long-conv outputs across the remat boundary so the
+    # backward recompute skips the layer's most expensive op (the conv
+    # forward + its filter evaluation feed): +~1 activation tensor per
+    # layer of residency for ~a conv-forward per layer per step. See
+    # models/filters.py CONV_OUT_TAG.
+    remat_save_conv: bool = True
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -245,6 +265,7 @@ class ConvLMHeadModel(fnn.Module):
             checkpoint_mlp=self.checkpoint_mlp,
             remat_residual_only=self.remat_residual_only,
             remat_group_size=self.remat_group_size,
+            remat_save_conv=self.remat_save_conv,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,
@@ -295,6 +316,12 @@ class DNAEmbeddingModel(fnn.Module):
     checkpoint_mlp: bool = False
     remat_residual_only: bool = False
     remat_group_size: int = 1
+    # save tagged long-conv outputs across the remat boundary so the
+    # backward recompute skips the layer's most expensive op (the conv
+    # forward + its filter evaluation feed): +~1 activation tensor per
+    # layer of residency for ~a conv-forward per layer per step. See
+    # models/filters.py CONV_OUT_TAG.
+    remat_save_conv: bool = True
     return_hidden_state: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
@@ -320,6 +347,7 @@ class DNAEmbeddingModel(fnn.Module):
             checkpoint_mlp=self.checkpoint_mlp,
             remat_residual_only=self.remat_residual_only,
             remat_group_size=self.remat_group_size,
+            remat_save_conv=self.remat_save_conv,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,

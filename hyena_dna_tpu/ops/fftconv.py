@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 
 def next_fast_fft_size(n: int) -> int:
@@ -961,6 +962,18 @@ _fftconv_gated_prim = jax.custom_vjp(_fftconv_gated_prim)
 _fftconv_gated_prim.defvjp(_fftconv_gated_fwd, _fftconv_gated_bwd)
 
 
+# Remat tag for long-conv outputs: LMBackbone's remat_save_conv policy
+# (save_only_these_names) saves values tagged with this name across the
+# per-block remat boundary, so the backward replay reuses the conv output
+# instead of re-running the most expensive op in the layer. No-op under
+# nothing_saveable.
+CONV_OUT_TAG = "hyena_conv_out"
+
+
+def tag_conv_out(y):
+    return checkpoint_name(y, CONV_OUT_TAG)
+
+
 def fftconv_gated(u: jax.Array, x0: jax.Array, k: jax.Array,
                   D: jax.Array) -> jax.Array:
     """(causal_conv(u, k) + u*D) * x0 on (B, C, L).
@@ -971,7 +984,11 @@ def fftconv_gated(u: jax.Array, x0: jax.Array, k: jax.Array,
     fft_size = next_fast_fft_size(2 * u.shape[-1])
     if _gated_plan(u, k, fft_size) is not None:
         return _fftconv_gated_prim(u, x0, k, D)
-    return (fftconv_chunked(u, k, D, False) * x0).astype(u.dtype)
+    # tag the UNGATED conv output: the gate's VJP consumes it, so under
+    # the remat_save_conv policy saving it (not the gated product) is what
+    # lets the backward replay skip the conv forward entirely
+    v = tag_conv_out(fftconv_chunked(u, k, D, False))
+    return (v * x0).astype(u.dtype)
 
 
 # ---------------------------------------------------------------------------

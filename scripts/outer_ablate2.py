@@ -252,10 +252,24 @@ for w in WANT:
         kern = functools.partial(_conv_kernel_outer, n1=n1, r=r, m=m)
         res[w] = timeit("full", launch(kern))
     elif w == "full3d":
-        def f3(x4):
-            y = n3.fftconv_outer_fwd(x4.reshape(B, C, lp), k, D, n1, r, m)
+        def f3(x4, k2, d3):
+            y = n3.fftconv_outer_fwd(x4.reshape(B, C, lp),
+                                     k2.reshape(C, lp), D, n1, r, m)
             return y.reshape(B, C, h1 * r, m)
         res[w] = timeit("full3d", f3)
+    elif w == "e2epad":
+        # the real in-model shape: unpadded L in, pad -> kernel -> slice.
+        # Measures whether XLA fuses the 4-D relayout into the pad pass.
+        Lu = int(lp * 0.858)  # ~450048/2^19 ratio
+
+        def f4(x4, k2, d3):
+            u3 = x4.reshape(B, C, lp)[..., :Lu]
+            up = jnp.pad(u3, ((0, 0), (0, 0), (0, lp - Lu)))
+            y = n3.fftconv_outer_fwd(up, k2.reshape(C, lp), D,
+                                     n1, r, m)[..., :Lu]
+            return jnp.pad(y, ((0, 0), (0, 0), (0, lp - Lu))).reshape(
+                B, C, h1 * r, m)
+        res[w] = timeit("e2epad", f4)
 if "full" in res and "notwiddle" in res:
     print(f"twiddle cost ~ {(res['full']-res['notwiddle'])*1e3:6.2f} ms")
 if "full" in res and "nostage1" in res:
