@@ -35,8 +35,8 @@ MODES = {
 }
 # measured in round 5 with the Hermitian-halved outer conv
 # (scripts/bench_long_context.py, 2026-08-20)
-MEASURED_MS = {"64k": 125, "128k": 250, "256k": 508, "450k": 789,
-               "1m": 2122}
+MEASURED_MS = {"64k": 113, "128k": 228, "256k": 475, "450k": 716,
+               "1m": 1746}
 # chip calibration (scripts/calibrate.py -> artifacts/hbm_calibration.json;
 # round 4's 438/148 anchors were timing-harness artifacts — see that
 # script's docstring for the three corrected bugs)
