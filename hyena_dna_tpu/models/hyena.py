@@ -32,7 +32,7 @@ from flax import linen as fnn
 from hyena_dna_tpu.models.filters import HyenaFilter
 from hyena_dna_tpu.models.nn import activation_fn
 from hyena_dna_tpu.ops import short_conv_1d
-from hyena_dna_tpu.ops.fftconv import tag_conv_out
+from hyena_dna_tpu.ops.fftconv import tag_conv_out, tag_filter_k
 from hyena_dna_tpu.ops.distributed import seq_fftconv, seq_short_conv
 
 # Sequence length from which the long-conv I/O (signal, gate, filter) is kept
@@ -268,7 +268,7 @@ class HyenaOperator(fnn.Module):
         splits = jnp.split(uc, o + 1, axis=2)
         *x, v = splits
 
-        k = self.filter_fn.filter(l_filter)  # (1, L, (o-1)*hd)
+        k = tag_filter_k(self.filter_fn.filter(l_filter))  # (1, L, (o-1)*hd)
         # (c=1, L, (v o)) -> (o-1, hd, L); reference rearrange
         # "c l (v o) -> c o v l" treats the channel dim as (v, o) with o fastest
         k = k[0].reshape(l_filter, hd, o - 1)  # (L, v, o)
@@ -354,7 +354,7 @@ class HyenaOperator(fnn.Module):
         anchor = vx if l_filter >= CONV_IO_BF16_MIN_L else None
         k = self.filter_fn.filter(l_filter, anchor=anchor,
                                   out_dtype=conv_dt)  # (1, L, d)
-        k = jnp.swapaxes(k[0], 0, 1)  # (d, L)
+        k = tag_filter_k(jnp.swapaxes(k[0], 0, 1))  # (d, L)
         bias = self.filter_fn.bias  # (d,)
         # post-gate fused into the conv kernel when a gated plan covers the
         # shape (reference fuses it in csrc/fftconv_cuda.cu; here the gate
@@ -386,7 +386,7 @@ class HyenaOperator(fnn.Module):
         splits = jnp.split(uc, o + 1, axis=1)  # (o+1) x (B, d, L)
         *x, v = splits
 
-        k = self.filter_fn.filter(l_filter)  # (1, L, (o-1)*d)
+        k = tag_filter_k(self.filter_fn.filter(l_filter))  # (1, L, (o-1)*d)
         k = k[0].reshape(l_filter, d, o - 1)
         k = jnp.transpose(k, (2, 1, 0))  # (o-1, d, L)
         bias = self.filter_fn.bias.reshape(d, o - 1).T  # (o-1, d)

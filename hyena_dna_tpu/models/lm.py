@@ -66,6 +66,11 @@ class LMBackbone(fnn.Module):
     # layer of residency for ~a conv-forward per layer per step. See
     # models/filters.py CONV_OUT_TAG.
     remat_save_conv: bool = True
+    # additionally save the tagged filter banks (params-only values the
+    # replay otherwise regenerates through the whole filter MLP). Off by
+    # default: +1 bf16 (C, L) tensor per layer of residency is what
+    # separates fitting 1M-token training on a 16 GB chip from OOM.
+    remat_save_filter: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -119,10 +124,15 @@ class LMBackbone(fnn.Module):
 
     @property
     def _remat_policy(self):
-        if self.remat_save_conv:
-            from hyena_dna_tpu.models.filters import CONV_OUT_TAG
+        from hyena_dna_tpu.ops.fftconv import CONV_OUT_TAG, FILTER_K_TAG
 
-            return jax.checkpoint_policies.save_only_these_names(CONV_OUT_TAG)
+        names = []
+        if self.remat_save_conv:
+            names.append(CONV_OUT_TAG)
+        if self.remat_save_filter:
+            names.append(FILTER_K_TAG)
+        if names:
+            return jax.checkpoint_policies.save_only_these_names(*names)
         return jax.checkpoint_policies.nothing_saveable
 
     @property
@@ -241,6 +251,11 @@ class ConvLMHeadModel(fnn.Module):
     # layer of residency for ~a conv-forward per layer per step. See
     # models/filters.py CONV_OUT_TAG.
     remat_save_conv: bool = True
+    # additionally save the tagged filter banks (params-only values the
+    # replay otherwise regenerates through the whole filter MLP). Off by
+    # default: +1 bf16 (C, L) tensor per layer of residency is what
+    # separates fitting 1M-token training on a 16 GB chip from OOM.
+    remat_save_filter: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
     mesh: Any = None
@@ -266,6 +281,7 @@ class ConvLMHeadModel(fnn.Module):
             remat_residual_only=self.remat_residual_only,
             remat_group_size=self.remat_group_size,
             remat_save_conv=self.remat_save_conv,
+            remat_save_filter=self.remat_save_filter,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,
@@ -322,6 +338,11 @@ class DNAEmbeddingModel(fnn.Module):
     # layer of residency for ~a conv-forward per layer per step. See
     # models/filters.py CONV_OUT_TAG.
     remat_save_conv: bool = True
+    # additionally save the tagged filter banks (params-only values the
+    # replay otherwise regenerates through the whole filter MLP). Off by
+    # default: +1 bf16 (C, L) tensor per layer of residency is what
+    # separates fitting 1M-token training on a 16 GB chip from OOM.
+    remat_save_filter: bool = False
     return_hidden_state: bool = False
     init_std: float = 0.02
     dtype: Any = jnp.float32
@@ -348,6 +369,7 @@ class DNAEmbeddingModel(fnn.Module):
             remat_residual_only=self.remat_residual_only,
             remat_group_size=self.remat_group_size,
             remat_save_conv=self.remat_save_conv,
+            remat_save_filter=self.remat_save_filter,
             init_std=self.init_std,
             dtype=self.dtype,
             mesh=self.mesh,

@@ -353,7 +353,9 @@ def _outer_pad(u, k, lp):
     return u_in, k_in
 
 
-def _pallas_outer_apply(u, k, D, plan):
+def _pallas_outer_apply(u, k, D, plan, pre_padded=False):
+    """pre_padded: u already lp-long (the fwd rule pads once and stores the
+    PADDED u as the residual, so the backward never re-pads it)."""
     from hyena_dna_tpu.ops import pallas_fftconv_n3 as _pfo
 
     n1, r, m = plan
@@ -364,6 +366,8 @@ def _pallas_outer_apply(u, k, D, plan):
                                    (u.shape[1],)))
     y = _pfo.fftconv_outer_fwd(u_in, k_in, d_arr, n1, r, m,
                                interpret=PALLAS_FFTCONV_INTERPRET)
+    if pre_padded:
+        return y, u_in
     return y[..., :seqlen]
 
 
@@ -372,7 +376,9 @@ def _fftconv_bwd_pallas_outer(res, dy, plan):
 
     u, k, D, _, _ = res
     n1, r, m = plan
-    seqlen = u.shape[-1]
+    # u may arrive PADDED (the outer fwd stores the padded u as residual);
+    # the primal length is dy's
+    seqlen = dy.shape[-1]
     lp = (n1 // 2) * r * m
     u_in, k_in = _outer_pad(u, k, lp)
     dy_in = (jnp.pad(dy, [(0, 0), (0, 0), (0, lp - seqlen)])
@@ -524,8 +530,12 @@ def _fftconv_fwd(u, k, D, gelu, save_spectra=True):
     if not gelu:
         pouter = _pallas_outer_plan(u, k, fft_size, gelu)
         if pouter is not None:
-            y = _pallas_outer_apply(u, k, D, pouter).astype(u.dtype)
-            return y, (u, k, D, None, None)
+            y, u_in = _pallas_outer_apply(u, k, D, pouter, pre_padded=True)
+            # store the PADDED u: the backward's _outer_pad then no-ops on
+            # it (one fewer full-length pad pass per conv backward); du is
+            # sliced with dy's length instead
+            return (y[..., :seqlen].astype(u.dtype),
+                    (u_in, k, D, None, None))
     if not gelu:
         # narrow fused plans (fft >= 2^19) stream channel blocks through
         # VMEM and never build the XLA chain's HBM workspace, so they are
@@ -968,10 +978,18 @@ _fftconv_gated_prim.defvjp(_fftconv_gated_fwd, _fftconv_gated_bwd)
 # instead of re-running the most expensive op in the layer. No-op under
 # nothing_saveable.
 CONV_OUT_TAG = "hyena_conv_out"
+# Same idea for the implicit filter bank k: it depends only on parameters,
+# so without a tag the remat replay re-runs the whole filter MLP +
+# modulation per layer. bf16 (C, L) residency per layer when saved.
+FILTER_K_TAG = "hyena_filter_k"
 
 
 def tag_conv_out(y):
     return checkpoint_name(y, CONV_OUT_TAG)
+
+
+def tag_filter_k(k):
+    return checkpoint_name(k, FILTER_K_TAG)
 
 
 def fftconv_gated(u: jax.Array, x0: jax.Array, k: jax.Array,

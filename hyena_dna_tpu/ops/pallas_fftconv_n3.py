@@ -589,7 +589,10 @@ def fftconv_outer_bwd(u, dy, k, D, n1: int, r: int, m: int,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, c, h1 * r, m), dy.dtype),
-            jax.ShapeDtypeStruct((c, h1 * r, m), jnp.float32),
+            # dk in k's dtype: the f32 accumulation lives in scratch; a
+            # f32 dk output would cost an extra 0.5 GB write + a separate
+            # convert pass per conv at 2^20 (k is bf16 in-model >= 32k)
+            jax.ShapeDtypeStruct((c, h1 * r, m), k.dtype),
             jax.ShapeDtypeStruct((c, 1, 128), jnp.float32),
         ],
         scratch_shapes=[

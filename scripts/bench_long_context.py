@@ -38,7 +38,7 @@ from hyena_dna_tpu.utils.profiling import device_memory_stats
 
 
 def run(L, pallas, iters=5, inner_remat=False, rro=False, group=1,
-        chunk_budget=None):
+        chunk_budget=None, save_filter=False):
     if chunk_budget is not None:
         import hyena_dna_tpu.ops.fftconv  # noqa: F401
         sys.modules["hyena_dna_tpu.ops.fftconv"].FFTCONV_CHUNK_BUDGET = chunk_budget
@@ -54,6 +54,7 @@ def run(L, pallas, iters=5, inner_remat=False, rro=False, group=1,
                             pad_vocab_size_multiple=8, residual_in_fp32=resid_f32,
                             layer=layer, checkpoint_mixer=True, checkpoint_mlp=True,
                             remat_residual_only=rro, remat_group_size=group,
+                            remat_save_filter=save_filter,
                             dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(model.init)(rng, jnp.zeros((1, L), jnp.int32))["params"]
@@ -108,8 +109,10 @@ def run_fwd(L, iters=3):
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "450k"
     if which == "450k":
-        run(450048, False)
+        run(450048, True, save_filter=True)
+    elif which == "450k_nosf":
         run(450048, True)
+        run(450048, False)
     elif which == "64k":
         # fft size 2^17: the fused 2-pass Pallas conv engages here (cb=8 +
         # 96 MB per-kernel VMEM cap; measured 2.2x over the XLA chain at
