@@ -348,17 +348,30 @@ def _conv_kernel_outer(u_ref, k_ref, d_ref, *refs,
 
     ub = _read_blocks(u_ref[0, 0], h1, r)
     ub_f32 = [x.astype(jnp.float32) for x in ub]
-    hr_blocks = []
-    hi_blocks = []
+    # running per-a1 accumulators instead of (produce all blocks -> emit):
+    # the stage-1-inverse VPU combos interleave with the NEXT q1 block's
+    # matmuls, so the VPU tail no longer serializes after the MXU work
+    acc = [None] * h1
     for q1 in range(hq):
         zr, zi = _fwd_block(ub_f32, fwd_c, q1, r, C)
         kr = ksr_ref[q1 * r:(q1 + 1) * r, :].astype(st)
         ki = ksi_ref[q1 * r:(q1 + 1) * r, :].astype(st)
         hr, hi = _inv_block(zr * kr - zi * ki, zr * ki + zi * kr, q1, r, C)
-        hr_blocks.append(hr.astype(jnp.float32))
-        hi_blocks.append(hi.astype(jnp.float32))
-    _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, ub_f32, d_ref,
-                         y_ref, h1, r, hq)
+        hr = hr.astype(jnp.float32)
+        hi = hi.astype(jnp.float32)
+        for a1 in range(h1):
+            cr, ci = inv_c[a1][q1]
+            t = None
+            if abs(cr) > 1e-12:
+                t = hr if cr == 1.0 else hr * cr
+            if abs(ci) > 1e-12:
+                ti = hi if ci == 1.0 else hi * ci
+                t = -ti if t is None else t - ti
+            if t is not None:
+                acc[a1] = t if acc[a1] is None else acc[a1] + t
+    for a1 in range(h1):
+        y = acc[a1] + ub_f32[a1] * d_ref[0, :, :1]
+        y_ref[0, 0, a1 * r:(a1 + 1) * r, :] = y.astype(y_ref.dtype)
 
 
 def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
@@ -475,8 +488,9 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
 
     ub = [x.astype(jnp.float32) for x in _read_blocks(u_ref[0, 0], h1, r)]
     dyb = [x.astype(jnp.float32) for x in _read_blocks(dy_ref[0, 0], h1, r)]
-    hr_blocks = []
-    hi_blocks = []
+    # running per-a1 du accumulators (see forward kernel: interleaves the
+    # stage-1-inverse VPU combos with the next q1 block's matmuls)
+    acc = [None] * h1
     for q1 in range(hq):
         ur, ui = _fwd_block(ub, fwd_c, q1, r, C)
         dr, di = _fwd_block(dyb, fwd_c, q1, r, C)
@@ -484,8 +498,18 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
         kr = ksr_ref[sl, :].astype(st)
         ki = ksi_ref[sl, :].astype(st)
         hr, hi = _inv_block(dr * kr - di * ki, dr * ki + di * kr, q1, r, C)
-        hr_blocks.append(hr.astype(jnp.float32))
-        hi_blocks.append(hi.astype(jnp.float32))
+        hr = hr.astype(jnp.float32)
+        hi = hi.astype(jnp.float32)
+        for a1 in range(h1):
+            cr, ci = inv_c[a1][q1]
+            t = None
+            if abs(cr) > 1e-12:
+                t = hr if cr == 1.0 else hr * cr
+            if abs(ci) > 1e-12:
+                ti = hi if ci == 1.0 else hi * ci
+                t = -ti if t is None else t - ti
+            if t is not None:
+                acc[a1] = t if acc[a1] is None else acc[a1] + t
         pr = (dr * ur + di * ui).astype(jnp.float32)
         pi = (di * ur - dr * ui).astype(jnp.float32)
 
@@ -499,10 +523,11 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
             pr_ref[sl, :] = pr_ref[sl, :] + pr
             pi_ref[sl, :] = pi_ref[sl, :] + pi
 
-    # du = stage-1 inverse of the H blocks + dy * D (inv_c carries the
+    # du = accumulated stage-1 inverse + dy * D (inv_c carries the
     # Hermitian doubling for interior q1)
-    _stage1_inverse_emit(hr_blocks, hi_blocks, inv_c, dyb, d_ref,
-                         du_ref, h1, r, hq)
+    for a1 in range(h1):
+        du = acc[a1] + dyb[a1] * d_ref[0, :, :1]
+        du_ref[0, 0, a1 * r:(a1 + 1) * r, :] = du.astype(du_ref.dtype)
 
     @pl.when(bi == nb - 1)
     def _():
@@ -511,28 +536,28 @@ def _bwd_kernel_outer(c1r, c1i, i1r, i1i, u_ref, dy_ref, k_ref, d_ref, *refs,
         # blocks are doubled and the global imaginary parts cancel — only
         # the real sums are accumulated.
         dd = jnp.zeros((), jnp.float32)
-        gr_blocks = []
-        gi_blocks = []
+        kacc = [None] * h1
         for q1 in range(hq):
             sl = slice(q1 * r, (q1 + 1) * r)
             spr = pr_ref[sl, :]
             spi = pi_ref[sl, :]
             gr, gi = _inv_block(spr.astype(st), spi.astype(st), q1, r, C)
-            gr_blocks.append(gr.astype(jnp.float32))
-            gi_blocks.append(gi.astype(jnp.float32))
+            gr = gr.astype(jnp.float32)
+            gi = gi.astype(jnp.float32)
+            for a1 in range(h1):
+                cr, ci = inv_c[a1][q1]
+                t = None
+                if abs(cr) > 1e-12:
+                    t = gr if cr == 1.0 else gr * cr
+                if abs(ci) > 1e-12:
+                    ti = gi if ci == 1.0 else gi * ci
+                    t = -ti if t is None else t - ti
+                if t is not None:
+                    kacc[a1] = t if kacc[a1] is None else kacc[a1] + t
             w = 2.0 if 0 < q1 < h1 else 1.0
             dd = dd + w * jnp.sum(spr)
         for a1 in range(h1):
-            acc = None
-            for q1 in range(hq):
-                cr, ci = inv_c[a1][q1]
-                if abs(cr) > 1e-12:
-                    t = gr_blocks[q1] if cr == 1.0 else gr_blocks[q1] * cr
-                    acc = t if acc is None else acc + t
-                if abs(ci) > 1e-12:
-                    t = gi_blocks[q1] if ci == 1.0 else gi_blocks[q1] * ci
-                    acc = -t if acc is None else acc - t
-            dk_ref[0, a1 * r:(a1 + 1) * r, :] = acc.astype(dk_ref.dtype)
+            dk_ref[0, a1 * r:(a1 + 1) * r, :] = kacc[a1].astype(dk_ref.dtype)
         dd_ref[:] = jnp.full((1, 1, 128), dd / (n1 * r * m), jnp.float32)
 
 
