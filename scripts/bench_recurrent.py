@@ -170,17 +170,23 @@ def run_speed(name, preset):
         # generation rate).
         gen_rec = jax.jit(lambda rec, p, n: rec.generate(p, n),
                           static_argnums=2)
-        few = 16
+        # steady rate from a LONG generation window (the parallel prefill
+        # is now ~30 ms, so short windows are all tunnel-floor noise);
+        # min-of-3 executions per length
+        few, many = 16, 2048
         dts = {}
-        for n in (few, new_tokens):
+        for n in (few, new_tokens, many):
             out = gen_rec(rec, prompt, n)
-            float(jnp.sum(out))  # hard sync (compile + warm)
-            t0 = time.perf_counter()
-            out = gen_rec(rec, prompt, n)
-            float(jnp.sum(out))
-            dts[n] = time.perf_counter() - t0
+            float(jnp.sum(out))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = gen_rec(rec, prompt, n)
+                float(jnp.sum(out))
+                best = min(best, time.perf_counter() - t0)
+            dts[n] = best
         dt_rec = dts[new_tokens]
-        per_tok = (dts[new_tokens] - dts[few]) / (new_tokens - few)
+        per_tok = (dts[many] - dts[few]) / (many - few)
         prefill_s = max(dts[few] - few * per_tok, 0.0)
 
         # fixed-buffer re-forward loop (the only mode the reference has).

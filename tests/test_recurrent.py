@@ -87,3 +87,26 @@ def test_recurrent_generate_matches_full_forward(model_and_params):
         buf = jnp.concatenate([buf, nxt[:, None]], axis=1)
 
     np.testing.assert_array_equal(np.asarray(out), np.asarray(buf))
+
+
+def test_parallel_prefill_matches_scan(model_and_params):
+    """Closed-form O(T log T) prefill state == sequential-scan state."""
+    model, params = model_and_params
+    rec = distill(model, params, n_modes=48, fit_len=L)
+    toks = jnp.asarray(
+        np.random.default_rng(3).integers(7, 11, size=(2, 48)), jnp.int32)
+    st_scan, lg_scan = rec.prefill(rec.init_state(2), toks)
+    st_par, lg_par = rec.prefill_parallel(rec.init_state(2), toks)
+    for i in range(rec.n_layer):
+        for key in ("sc", "s"):
+            a = np.asarray(st_scan["layers"][i][key])
+            b = np.asarray(st_par["layers"][i][key])
+            err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+            assert err < 1e-4, (i, key, err)
+    lerr = float(jnp.abs(lg_scan - lg_par).max() /
+                 (jnp.abs(lg_scan).max() + 1e-9))
+    assert lerr < 1e-4, lerr
+    # and the generated continuations agree greedily
+    g_scan = rec.generate(toks, 8, parallel_prefill=False)
+    g_par = rec.generate(toks, 8, parallel_prefill=True)
+    assert np.array_equal(np.asarray(g_scan), np.asarray(g_par))
