@@ -225,9 +225,50 @@ def run_full(args):
     return 0 if ok else 1
 
 
+def run_full8(args):
+    """One full-L step on the flagship's own declared mesh FACTORIZATION
+    width: seq=8 ((data=1, seq=8) on the 8-device virtual mesh), so the
+    channel-pencil conv runs the REAL 8-way split (C/8 channels per
+    pencil, 8-way all_to_all) rather than the seq<=4 splits every other
+    virtual run uses. Matches configs/experiment/hg38/hg38_large_1m.yaml
+    mesh (data=2 x seq=8) up to the data axis this 8-device host can't
+    also fit."""
+    L = 1000001
+    cfg = build_config(base_overrides(args, L) + [
+        "trainer.max_epochs=1",
+        "trainer.limit_train_batches=1",
+        "dataset.batch_size=1",
+    ])
+    cfg["mesh"] = {"data": 1, "seq": 8, "model": 1}
+    cfg.get("callbacks", {}).pop("seqlen_warmup_reload", None)
+
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg)
+    assert trainer.mesh.shape["seq"] == 8
+    loader = trainer.datamodule.train_dataloader()
+    batch = trainer._shard(next(iter(loader)))
+    rng = jax.random.PRNGKey(0)
+    trainer.state, metrics = trainer.train_step(trainer.state, batch, rng)
+    loss = float(metrics["loss"])
+    wall = round(time.perf_counter() - t0, 1)
+    print(f"full-L seq=8 step: loss={loss:.4f} ({wall}s)", flush=True)
+    ok = bool(np.isfinite(loss))
+    merge_artifact({"full_l_seq8": {
+        "config": "hg38/hg38_large_1m",
+        "mesh": {"data": 1, "seq": 8},
+        "seq_len": L,
+        "d_model": args.d_model,
+        "n_layer": args.n_layer,
+        "loss": loss,
+        "wallclock_s": wall,
+        "ok": ok,
+    }})
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["plain", "stages", "full"],
+    ap.add_argument("--mode", choices=["plain", "stages", "full", "full8"],
                     default="plain")
     ap.add_argument("--seq-len", type=int, default=262145)
     ap.add_argument("--d-model", type=int, default=64)
@@ -243,6 +284,15 @@ def main():
         if args.d_model > 32:
             args.d_model = 32
         return run_full(args)
+    if args.mode == "full8":
+        args.run_dir = args.run_dir + "_full8"
+        # 8 device threads on 4 host cores: larger shapes straggle past
+        # XLA CPU's hard 40 s collective-rendezvous timeout (measured:
+        # d=32/n=2 dies, d=16/n=1 runs in 60 s)
+        if args.d_model > 16:
+            args.d_model = 16
+        args.n_layer = min(args.n_layer, 1)
+        return run_full8(args)
     return run_plain(args)
 
 
