@@ -1,5 +1,15 @@
 """Pallas TPU kernel: fused 3-pass FFT convolution for long contexts.
 
+STATUS: MEASURED-AND-REJECTED, permanently gated off (PALLAS3_FFTCONV =
+False in ops/fftconv.py). On v5e at its target n=2^19 (C=16, B=1) it ran
+3.09 ms/conv-fwd vs the XLA chain's 2.81 — Mosaic's middle-pass
+(f1,f2,f3)<->(f2,f1,f3) relayouts cost more than the saved HBM round
+trips, and compiles took 24 min at 2^19 / OOM-killed at 2^20 (details:
+ROADMAP.md round-3 notes). The outer-radix kernel
+(ops/pallas_fftconv_n3.py) supersedes it at every size by removing the
+relayout from the algorithm instead of lowering it better. Kept as the
+parity-tested record of the rejected design.
+
 The 2-pass fused kernel (`ops/pallas_fftconv.py`) covers fft sizes up to
 2^18; beyond that a balanced 2-factor chain needs factor matrices past
 1024 and the per-point matmul work grows as r/2 + m (~1280 MACs/point at
