@@ -133,6 +133,13 @@ if __name__ == "__main__":
         # single-chip 1M training: residual-only remat cells grouped by 2 +
         # 64 MB conv chunk budget (the combination that fits 15.75 GB HBM)
         run(1000448, None, rro=True, group=2, chunk_budget=1 << 26)
+    elif which == "1m_g1":
+        # group=1: more saved residual boundaries (+2 GB) but each cell's
+        # backward recomputes one layer instead of two
+        run(1000448, None, rro=True, group=1, chunk_budget=1 << 26)
+    elif which == "1m_sf":
+        run(1000448, None, rro=True, group=2, chunk_budget=1 << 26,
+            save_filter=True)
     elif which == "1m_fwd":
         run_fwd(1000448)
     elif which == "1m_remat":
