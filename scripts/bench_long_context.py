@@ -130,15 +130,20 @@ if __name__ == "__main__":
         # medium-160k..256k model-zoo context range.
         run(262142, None, iters=6)
     elif which == "1m":
-        # single-chip 1M training: residual-only remat cells grouped by 2 +
-        # 64 MB conv chunk budget (the combination that fits 15.75 GB HBM)
-        run(1000448, None, rro=True, group=2, chunk_budget=1 << 26)
+        # single-chip 1M training: residual-only remat cells (group=1 wins
+        # once remat_save_conv keeps the conv outputs: 1655 vs group=2's
+        # 1717 ms; group=1 + save_filter OOMs by 222 MB) + 64 MB conv
+        # chunk budget
+        run(1000448, None, rro=True, group=1, chunk_budget=1 << 26)
     elif which == "1m_g1":
         # group=1: more saved residual boundaries (+2 GB) but each cell's
         # backward recomputes one layer instead of two
         run(1000448, None, rro=True, group=1, chunk_budget=1 << 26)
     elif which == "1m_sf":
         run(1000448, None, rro=True, group=2, chunk_budget=1 << 26,
+            save_filter=True)
+    elif which == "1m_g1sf":
+        run(1000448, None, rro=True, group=1, chunk_budget=1 << 26,
             save_filter=True)
     elif which == "1m_fwd":
         run_fwd(1000448)

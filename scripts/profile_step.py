@@ -45,7 +45,7 @@ model = ConvLMHeadModel(d_model=d, n_layer=nl, d_inner=4 * d, vocab_size=12,
                         pad_vocab_size_multiple=8, residual_in_fp32=False,
                         layer=layer, checkpoint_mixer=True,
                         checkpoint_mlp=True, remat_residual_only=rro,
-                        remat_group_size=2 if rro else 1,
+                        remat_group_size=1,
                         dtype=jnp.bfloat16)
 rng = jax.random.PRNGKey(0)
 params = jax.jit(model.init)(rng, jnp.zeros((1, L), jnp.int32))["params"]

@@ -31,12 +31,12 @@ MODES = {
     "128k": dict(L=131070, rro=False, group=1, chunk=None, pallas=None),
     "256k": dict(L=262142, rro=False, group=1, chunk=None, pallas=None),
     "450k": dict(L=450048, rro=False, group=1, chunk=None, pallas=True),
-    "1m": dict(L=1000448, rro=True, group=2, chunk=1 << 26, pallas=None),
+    "1m": dict(L=1000448, rro=True, group=1, chunk=1 << 26, pallas=None),
 }
 # measured in round 5 with the Hermitian-halved outer conv
 # (scripts/bench_long_context.py, 2026-08-20)
-MEASURED_MS = {"64k": 113, "128k": 228, "256k": 475, "450k": 716,
-               "1m": 1746}
+MEASURED_MS = {"64k": 113, "128k": 228, "256k": 475, "450k": 699,
+               "1m": 1655}
 # chip calibration (scripts/calibrate.py -> artifacts/hbm_calibration.json;
 # round 4's 438/148 anchors were timing-harness artifacts — see that
 # script's docstring for the three corrected bugs)
