@@ -327,6 +327,12 @@ class HyenaOperator(fnn.Module):
             use = _jax.default_backend() == "tpu"
         if not use and not self.pallas_interpret:
             return None
+        # 4-D conv-layout route: when the outer-radix conv covers this fft
+        # size, emit the conv operands directly in its (B, d, rows, m)
+        # tiling — no pad / relayout copies anywhere in the conv round trip
+        y4 = self._try_front4(u, l, l_filter, deterministic)
+        if y4 is not None:
+            return y4
         tile_l = next((t for t in (512, 256, 128, 64, 32) if l % t == 0), None)
         if tile_l is None:
             return None
@@ -365,6 +371,105 @@ class HyenaOperator(fnn.Module):
         x0 = x0.astype(conv_dt)
         y = _fftconv_gated(vx, x0, k, bias.astype(jnp.float32)).astype(u.dtype)
         y = jnp.swapaxes(y, -1, -2)
+        y = self.act(y)
+        y = self.out_proj(y)
+        if self.return_state:
+            return y, None
+        return y
+
+    def _try_front4(self, u, l, l_filter, deterministic):
+        """Fused front + outer-radix conv with the conv operands kept in the
+        kernel's native 4-D (B, d, n1//2*r, m) tiling end to end.
+
+        Why built: on TPU the flat (C, Lp) array and the kernel's
+        (C, rows, m) view tile differently, so the flat route shows a pad
+        + full-array relayout copy per conv operand per call — 71 ms of
+        pad+copy families in the 699 ms 450k train-step trace
+        (artifacts/profile_families.json). Here the front kernel writes
+        the padded 4-D layout directly, the conv consumes/produces it,
+        the filter bank is built in it (major-axis pad + one transpose),
+        and the flatten back merges into the output transpose the layer
+        needs anyway. Math is identical to the flat route (same kernels,
+        same padding semantics); only the physical layout changes.
+
+        MEASURED AND REJECTED on v5e (2026-08-21, 450k step, A/B in one
+        session; artifacts/front4_ab_450k.json): flat 703 ms vs 4-D
+        721 ms. The trace diff shows why the 71 ms never materialized:
+        (a) only ~26 ms of the pad/copy families actually disappears —
+        XLA was riding much of those bytes inside elementwise fusions
+        (the gate multiply re-appears unfused as 22 ms of
+        multiply_bitcast fusions at padded length); (b) the front
+        kernels pay a block-granularity tax for emitting (rows, m) tiles
+        — Mosaic requires 8-row output blocks, so tile stores go through
+        revisited blocks + static-switch sub-stores (fwd 1.4 -> 2.6 ms,
+        bwd 4.7 -> 6.1 ms per call, +30 ms/step over 8 layers).
+        Kept parity-tested (tests/test_front4.py) behind HYENA_FRONT4=1;
+        default off."""
+        import os as _os
+
+        import jax as _jax
+
+        if _os.environ.get("HYENA_FRONT4", "0") != "1":
+            return None
+        if self.order != 2 or l != l_filter:
+            return None
+        import sys as _sys
+
+        import hyena_dna_tpu.ops.fftconv  # noqa: F401 — module registration
+        from hyena_dna_tpu.ops.pallas_fftconv_n3 import plan_outer
+
+        # the ops package re-exports the fftconv FUNCTION under the same
+        # name; go through sys.modules for the module's live globals
+        _F = _sys.modules["hyena_dna_tpu.ops.fftconv"]
+
+        on_tpu = _jax.default_backend() == "tpu"
+        if not (on_tpu or (self.pallas_interpret
+                           and _F.PALLAS_FFTCONV_INTERPRET)):
+            return None
+        fft_size = _F.next_fast_fft_size(2 * l)
+        spec = plan_outer(fft_size, self.d_model, l, u.shape[0])
+        if spec is None:
+            return None
+        n1, r, m = spec
+        rows_pad = (n1 // 2) * r
+        lp = rows_pad * m
+        tile_l = next((t for t in (512, 256, 128)
+                       if l % t == 0 and t % m == 0 and lp % t == 0
+                       and 8 % (t // m) == 0), None)
+        if tile_l is None or l > lp or rows_pad % 8 != 0:
+            return None
+        from hyena_dna_tpu.ops.pallas_hyena import fused_proj_conv_gate4
+
+        w = self.in_proj.variables["params"]["kernel"].astype(jnp.float32)
+        bp = self.in_proj.variables["params"]["bias"].astype(jnp.float32)
+        wc = jnp.swapaxes(self.short_filter_weight, 0, 1).astype(jnp.float32)
+        bc = self.short_filter_bias.astype(jnp.float32)
+        vx4, x04 = fused_proj_conv_gate4(
+            u, w, bp, wc, bc, rows_pad, m, tile_l, self.pallas_interpret
+        )
+        vx4 = self.drop(vx4, deterministic=deterministic)
+
+        conv_dt = (jnp.bfloat16 if l_filter >= CONV_IO_BF16_MIN_L
+                   else jnp.float32)
+        anchor = vx4 if l_filter >= CONV_IO_BF16_MIN_L else None
+        k = self.filter_fn.filter(l_filter, anchor=anchor,
+                                  out_dtype=conv_dt)  # (1, L, d)
+        # filter bank straight into the 4-D tiling: pad on the MAJOR (time)
+        # axis of (L, d) — cheap, no relayout — then one transpose; the flat
+        # route's swapaxes + minor-axis pad + retile was 3 full copies
+        kp = jnp.pad(k[0], ((0, lp - l_filter), (0, 0)))  # (lp, d)
+        k4 = tag_filter_k(
+            jnp.transpose(kp.reshape(rows_pad, m, -1), (2, 0, 1)))
+        bias = self.filter_fn.bias
+        vx4 = vx4.astype(conv_dt)
+        x04 = x04.astype(conv_dt)
+        v4 = tag_conv_out(
+            _F.fftconv_outer_4d(vx4, k4, bias.astype(jnp.float32), n1, r, m))
+        y4 = (v4 * x04).astype(u.dtype)
+        # flatten rides the (B, C, rows, m) -> (B, L, C) transpose the layer
+        # needs anyway: merging the two major time dims is tiling-free
+        y = jnp.transpose(y4, (0, 2, 3, 1)).reshape(
+            u.shape[0], lp, y4.shape[1])[:, :l]
         y = self.act(y)
         y = self.out_proj(y)
         if self.return_state:

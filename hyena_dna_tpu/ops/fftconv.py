@@ -992,6 +992,42 @@ def tag_filter_k(k):
     return checkpoint_name(k, FILTER_K_TAG)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fftconv_outer_4d(u4: jax.Array, k4: jax.Array, D: jax.Array,
+                     n1: int, r: int, m: int) -> jax.Array:
+    """causal_conv(u, k) + u*D on PRE-SHAPED (B, C, n1//2*r, m) operands.
+
+    The 4-D layout is the outer-radix kernel's native view of the padded
+    flat (B, C, Lp) array; on TPU the flat<->4-D reshape is a full-array
+    tiling relayout (measured ~0.8 ms per 268 MB operand at fft 2^20), so
+    producers that can emit this layout directly (the 4-D Pallas front
+    end, the filter-bank builder in HyenaOperator) call this wrapper and
+    the whole conv round trip carries no pad/copy ops. Grads mirror the
+    flat custom_vjp (recompute-both-transforms backward in-kernel)."""
+    from hyena_dna_tpu.ops import pallas_fftconv_n3 as _po
+
+    return _po.fftconv_outer_fwd4(u4, k4, D, n1, r, m,
+                                  interpret=PALLAS_FFTCONV_INTERPRET)
+
+
+def _outer4_fwd(u4, k4, D, n1, r, m):
+    return fftconv_outer_4d(u4, k4, D, n1, r, m), (u4, k4, D)
+
+
+def _outer4_bwd(n1, r, m, res, dy4):
+    from hyena_dna_tpu.ops import pallas_fftconv_n3 as _po
+
+    u4, k4, D = res
+    du4, dk4, dd = _po.fftconv_outer_bwd4(u4, dy4, k4, D, n1, r, m,
+                                          interpret=PALLAS_FFTCONV_INTERPRET)
+    D_arr = jnp.asarray(D)
+    return (du4.astype(u4.dtype), dk4.astype(k4.dtype),
+            dd.reshape(D_arr.shape).astype(D_arr.dtype))
+
+
+fftconv_outer_4d.defvjp(_outer4_fwd, _outer4_bwd)
+
+
 def fftconv_gated(u: jax.Array, x0: jax.Array, k: jax.Array,
                   D: jax.Array) -> jax.Array:
     """(causal_conv(u, k) + u*D) * x0 on (B, C, L).

@@ -380,6 +380,26 @@ def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
     bsz, c, lp = u.shape
     h1 = n1 // 2
     assert lp == h1 * r * m and k.shape == (c, lp)
+    y4 = fftconv_outer_fwd4(u.reshape(bsz, c, h1 * r, m),
+                            k.reshape(c, h1 * r, m), D, n1, r, m,
+                            interpret=interpret)
+    return y4.reshape(bsz, c, lp)
+
+
+def fftconv_outer_fwd4(u, k, D, n1: int, r: int, m: int,
+                       interpret: bool = False):
+    """Forward on PRE-SHAPED operands: u (B, C, h1*r, m) -> y same shape.
+
+    Why a 4-D entry point: on TPU the flat (C, Lp) array and the kernel's
+    (C, h1*r, m) view have DIFFERENT physical tilings (T(8,128) applies to
+    the trailing two dims), so reshaping between them is a full-array
+    relayout copy — measured 48 x ~0.8 ms per 450k train step (the 'copy'
+    family in artifacts/profile_families.json). Producers that can emit
+    the 4-D layout directly (the fused Hyena front end, the filter bank
+    builder) call this entry point and skip the retile entirely."""
+    bsz, c, rows, mm = u.shape
+    h1 = n1 // 2
+    assert rows == h1 * r and mm == m and k.shape == (c, rows, m)
     consts = _consts_outer(n1, r, m)
     vals = [consts[key] for key in _CONST_KEYS]
     const_specs = [
@@ -409,10 +429,10 @@ def fftconv_outer_fwd(u, k, D, n1: int, r: int, m: int,
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(u.reshape(bsz, c, h1 * r, m), k.reshape(c, h1 * r, m),
+    )(u, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
       *vals)
-    return y.reshape(bsz, c, lp)
+    return y
 
 
 def _fwd_block_dyn(x_ref, c1r, c1i, q1, h1, r, C, sub=(0, 0)):
@@ -567,6 +587,20 @@ def fftconv_outer_bwd(u, dy, k, D, n1: int, r: int, m: int,
     bsz, c, lp = u.shape
     h1 = n1 // 2
     assert lp == h1 * r * m and k.shape == (c, lp)
+    du4, dk4, dd = fftconv_outer_bwd4(
+        u.reshape(bsz, c, h1 * r, m), dy.reshape(bsz, c, h1 * r, m),
+        k.reshape(c, h1 * r, m), D, n1, r, m, interpret=interpret)
+    return du4.reshape(bsz, c, lp), dk4.reshape(c, lp), dd
+
+
+def fftconv_outer_bwd4(u, dy, k, D, n1: int, r: int, m: int,
+                       interpret: bool = False):
+    """Backward on PRE-SHAPED (B, C, h1*r, m) operands (see
+    fftconv_outer_fwd4): returns (du4, dk4, dD) in the same 4-D layout,
+    skipping the flat<->4-D relayout copies."""
+    bsz, c, rows, mm = u.shape
+    h1 = n1 // 2
+    assert rows == h1 * r and mm == m and k.shape == (c, rows, m)
     consts = _consts_outer(n1, r, m)
     vals = [consts[key] for key in _CONST_KEYS]
     const_specs = [
@@ -631,8 +665,7 @@ def fftconv_outer_bwd(u, dy, k, D, n1: int, r: int, m: int,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(c1r, c1i, i1r, i1i,
-      u.reshape(bsz, c, h1 * r, m), dy.reshape(bsz, c, h1 * r, m),
-      k.reshape(c, h1 * r, m),
+      u, dy, k,
       jnp.tile(jnp.asarray(D, jnp.float32).reshape(c, 1, 1), (1, 1, 128)),
       *vals)
-    return du.reshape(bsz, c, lp), dk.reshape(c, lp), dd[:, 0, 0]
+    return du, dk, dd[:, 0, 0]

@@ -108,6 +108,115 @@ def _fwd_pallas(u, w, bp, wc, bc, *, tile_l: int, interpret: bool):
     )(u, w, bp, wc, bc)
 
 
+# Mosaic requires the sublane (second-to-last) dim of a VMEM block to be a
+# multiple of 8; one length tile contributes only tile_l//m (often 2) rows
+# of the (rows_pad, m) layout, so output blocks span _ROWS_BLK rows and are
+# REVISITED by consecutive grid steps (block index li // gpb is monotone;
+# the block stays VMEM-resident until it changes).
+_ROWS_BLK = 8
+
+
+def _kernel4(u_ref, w_ref, bp_ref, wc_ref, bc_ref, vx_ref, x0_ref, carry,
+             *, n_real: int, rpt: int):
+    """4-D-output variant of _kernel: one (batch, length-tile) program that
+    writes its (d, TL) results as rpt = TL//m rows of the conv kernel's
+    (d, rows_pad, m) layout, with tile programs past the real sequence
+    (i_l >= n_real) emitting zeros — the causal FFT pad, written once at
+    the source instead of via a pad + relayout copy over the flat array
+    (see fftconv_outer_fwd4)."""
+    i_l = pl.program_id(1)
+
+    @pl.when(i_l == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    mm = vx_ref.shape[3]
+    gpb = _ROWS_BLK // rpt
+
+    @pl.when(i_l >= n_real)
+    def _():
+        z = jnp.zeros((vx_ref.shape[1], rpt, mm), vx_ref.dtype)
+        _store_rows(vx_ref, x0_ref, z, z, i_l, rpt, gpb)
+
+    @pl.when(i_l < n_real)
+    def _():
+        u = u_ref[0]  # (TL, d)
+        proj = jnp.dot(u, w_ref[:], preferred_element_type=jnp.float32)
+        proj = proj + bp_ref[0][None, :]  # (TL, 3d) fp32
+
+        prev = carry[:]  # (2, 3d)
+        ext = jnp.concatenate([prev, proj], axis=0)  # (TL+2, 3d)
+        tl = proj.shape[0]
+        conv = (
+            ext[0:tl] * wc_ref[0][None, :]
+            + ext[1 : tl + 1] * wc_ref[1][None, :]
+            + ext[2 : tl + 2] * wc_ref[2][None, :]
+            + bc_ref[0][None, :]
+        )  # (TL, 3d)
+        carry[:] = proj[tl - 2 : tl]
+
+        d = conv.shape[-1] // 3
+        x0 = conv[:, 0:d].T
+        x1 = conv[:, d : 2 * d]
+        v = conv[:, 2 * d : 3 * d]
+        vx = (v * x1).T  # (d, TL)
+        dd = vx.shape[0]
+        _store_rows(vx_ref, x0_ref,
+                    vx.reshape(dd, rpt, mm).astype(vx_ref.dtype),
+                    x0.reshape(dd, rpt, mm).astype(x0_ref.dtype),
+                    i_l, rpt, gpb)
+
+
+def _store_rows(vx_ref, x0_ref, val_v, val_x, i_l, rpt, gpb):
+    """Store this program's rpt rows into the revisited 8-row output block.
+
+    Mosaic cannot prove dynamic sublane offsets 8-aligned, so the (small,
+    compile-time) gpb possibilities are unrolled as static sub-block
+    stores under pl.when."""
+    for g in range(gpb):
+        @pl.when((i_l % gpb) == g)
+        def _(g=g):
+            vx_ref[0, :, g * rpt:(g + 1) * rpt, :] = val_v
+            x0_ref[0, :, g * rpt:(g + 1) * rpt, :] = val_x
+
+
+def _fwd_pallas4(u, w, bp, wc, bc, *, rows_pad: int, m: int, tile_l: int,
+                 interpret: bool):
+    b, l, d = u.shape
+    d3 = w.shape[-1]
+    n_real = l // tile_l
+    rpt = tile_l // m
+    gpb = _ROWS_BLK // rpt
+    n_lp = rows_pad * m // tile_l
+    grid = (b, n_lp)
+    out_dtype = u.dtype
+    # tile programs past the real length never read their (clamped) u block
+    u_idx = lambda bi, li: (bi, jnp.minimum(li, n_real - 1), 0)
+    o_idx = lambda bi, li: (bi, 0, li // gpb, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel4, n_real=n_real, rpt=rpt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_l, d), u_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, _ROWS_BLK, m), o_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, _ROWS_BLK, m), o_idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d3 // 3, rows_pad, m), out_dtype),
+            jax.ShapeDtypeStruct((b, d3 // 3, rows_pad, m), out_dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, d3), jnp.float32)],
+        interpret=interpret,
+    )(u, w, bp, wc, bc)
+
+
 def _reference_fwd(u, w, bp, wc, bc):
     """Plain-XLA evaluation of the same math (used for bwd recompute and as
     the numerical oracle)."""
@@ -144,6 +253,58 @@ def _bwd_kernel(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx_ref, dx0_ref,
     tile), from which the forward conv's left context is recomputed.
     Parameter grads accumulate in f32 VMEM output blocks across the grid.
     """
+    f32 = jnp.float32
+    dvx = dvx_ref[0].astype(f32).T  # (TL, d)
+    dx0 = dx0_ref[0].astype(f32).T
+    _bwd_body(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx, dx0,
+              du_ref, dw_ref, dbp_ref, dwc_ref, dbc_ref, dcarry)
+
+
+def _bwd_kernel4(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx_ref,
+                 dx0_ref, du_ref, dw_ref, dbp_ref, dwc_ref, dbc_ref, dcarry,
+                 *, rpt: int):
+    """Backward program reading the cotangents in the conv kernel's 4-D
+    (1, d, _ROWS_BLK, m) block layout (see _fwd_pallas4; blocks revisited
+    across the reversed walk). Grad rows past the real sequence are never
+    visited: the padded tail of vx/x0 is a constant zero, so those
+    cotangents carry no information (matching the pad-VJP slice of the
+    flat path)."""
+    f32 = jnp.float32
+    li = pl.program_id(1)
+    rev = pl.num_programs(1) - 1 - li  # real tile id
+    gpb = _ROWS_BLK // rpt
+    mm = dvx_ref.shape[3]
+    d = dvx_ref.shape[1]
+
+    def pick(blk):
+        """Extract this program's rpt rows from the (resident) 8-row block.
+
+        Mosaic rejects dynamic sublane offsets, so the gpb static slice
+        cases are combined by a binary select_n tree on the bits of
+        rev % gpb (select_n lowers to cheap vselects; Mosaic caps it at 2
+        cases per call, hence the tree). Measured on v5e at the 450k
+        shape: +1.1 ms over the flat backward vs +4.2 ms for a
+        scalar-mask multiply-accumulate and 'rotate with non-32-bit data'
+        unimplemented for pltpu.roll on bf16. The block itself is fetched
+        once per revisit group (index changes every gpb programs)."""
+        cases = [blk[:, g * rpt:(g + 1) * rpt, :] for g in range(gpb)]
+        g = rev % gpb
+        while len(cases) > 1:
+            half = len(cases) // 2
+            bit = g & 1
+            cases = [jax.lax.select_n(bit, cases[2 * i], cases[2 * i + 1])
+                     for i in range(half)]
+            g = g >> 1
+        return cases[0].reshape(d, rpt * mm).astype(f32)
+
+    dvx = pick(dvx_ref[0]).T  # (TL, d)
+    dx0 = pick(dx0_ref[0]).T
+    _bwd_body(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx, dx0,
+              du_ref, dw_ref, dbp_ref, dwc_ref, dbc_ref, dcarry)
+
+
+def _bwd_body(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx, dx0,
+              du_ref, dw_ref, dbp_ref, dwc_ref, dbc_ref, dcarry):
     bi = pl.program_id(0)
     li = pl.program_id(1)  # li == 0 is the RIGHTMOST tile
     f32 = jnp.float32
@@ -176,9 +337,6 @@ def _bwd_kernel(u_ref, up_ref, w_ref, bp_ref, wc_ref, bc_ref, dvx_ref, dx0_ref,
     d = conv.shape[-1] // 3
     x1 = conv[:, d : 2 * d]
     v = conv[:, 2 * d :]
-
-    dvx = dvx_ref[0].astype(f32).T  # (TL, d)
-    dx0 = dx0_ref[0].astype(f32).T
     # channel order [x0 | x1 | v]; vx = v * x1
     dconv = jnp.concatenate([dx0, dvx * v, dvx * x1], axis=1)  # (TL, 3d)
 
@@ -270,6 +428,98 @@ def _bwd_pallas(u, w, bp, wc, bc, dvx, dx0, *, tile_l: int, interpret: bool):
         interpret=interpret,
     )(u, up, w, bp.reshape(1, -1), wc, bc.reshape(1, -1), dvx, dx0)
     return du, dw, dbp.reshape(-1), dwc, dbc.reshape(-1)
+
+
+def _bwd_pallas4(u, w, bp, wc, bc, dvx4, dx04, *, rows_pad: int, m: int,
+                 tile_l: int, interpret: bool):
+    """Backward over the REAL tiles only, reading 4-D cotangent blocks."""
+    b, l, d = u.shape
+    d3 = w.shape[-1]
+    n_l = l // tile_l
+    rpt = tile_l // m
+    gpb = _ROWS_BLK // rpt
+    up = jnp.pad(
+        u.reshape(b, n_l, tile_l, d)[:, : n_l - 1, tile_l - 2 :, :],
+        [(0, 0), (1, 0), (0, 0), (0, 0)],
+    )  # (B, n_l, 2, d)
+    rev = lambda li: n_l - 1 - li
+    g_idx = lambda bi, li: (bi, 0, rev(li) // gpb, 0)
+    f32 = jnp.float32
+    du, dw, dbp, dwc, dbc = pl.pallas_call(
+        functools.partial(_bwd_kernel4, rpt=rpt),
+        grid=(b, n_l),
+        in_specs=[
+            pl.BlockSpec((1, tile_l, d), lambda bi, li: (bi, rev(li), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2, d), lambda bi, li: (bi, rev(li), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3 // 3, _ROWS_BLK, m), g_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3 // 3, _ROWS_BLK, m), g_idx,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_l, d), lambda bi, li: (bi, rev(li), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d3), lambda bi, li: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, l, d), u.dtype),
+            jax.ShapeDtypeStruct((d, d3), f32),
+            jax.ShapeDtypeStruct((1, d3), f32),
+            jax.ShapeDtypeStruct((3, d3), f32),
+            jax.ShapeDtypeStruct((1, d3), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, d3), f32)],
+        interpret=interpret,
+    )(u, up, w, bp.reshape(1, -1), wc, bc.reshape(1, -1), dvx4, dx04)
+    return du, dw, dbp.reshape(-1), dwc, dbc.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def fused_proj_conv_gate4(u, w, bp, wc, bc, rows_pad: int, m: int,
+                          tile_l: int = 512, interpret: bool = False):
+    """(vx4, x04) = fused front end emitting the conv kernel's 4-D layout.
+
+    Same math as fused_proj_conv_gate, but the outputs are
+    (B, d, rows_pad, m) with rows past ceil(L/m) zero-filled — i.e. the
+    causal-FFT zero padding AND the (d, rows, m) retile are folded into the
+    kernel's output writes, so the conv (fftconv_outer_fwd4) consumes them
+    with no pad / relayout ops in between. Requires L % tile_l == 0,
+    tile_l % m == 0, (rows_pad*m) % tile_l == 0 and rows_pad*m >= L.
+    """
+    bp2 = bp.reshape(1, -1)
+    bc2 = bc.reshape(1, -1)
+    return tuple(_fwd_pallas4(u, w, bp2, wc, bc2, rows_pad=rows_pad, m=m,
+                              tile_l=tile_l, interpret=interpret))
+
+
+def _fpcg4_fwd(u, w, bp, wc, bc, rows_pad, m, tile_l, interpret):
+    out = fused_proj_conv_gate4(u, w, bp, wc, bc, rows_pad, m, tile_l,
+                                interpret)
+    return out, (u, w, bp, wc, bc)
+
+
+def _fpcg4_bwd(rows_pad, m, tile_l, interpret, res, grads):
+    u, w, bp, wc, bc = res
+    dvx4, dx04 = grads
+    du, dw, dbp, dwc, dbc = _bwd_pallas4(
+        u, w.astype(jnp.float32), bp.astype(jnp.float32),
+        wc.astype(jnp.float32), bc.astype(jnp.float32), dvx4, dx04,
+        rows_pad=rows_pad, m=m, tile_l=tile_l, interpret=interpret,
+    )
+    return (du, dw.astype(w.dtype), dbp.astype(bp.dtype),
+            dwc.astype(wc.dtype), dbc.astype(bc.dtype))
+
+
+fused_proj_conv_gate4.defvjp(_fpcg4_fwd, _fpcg4_bwd)
 
 
 def _fpcg_fwd(u, w, bp, wc, bc, tile_l, interpret):

@@ -86,8 +86,10 @@ rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
 total = sum(v[1] for _, v in rows)
 print(f"{'us_total':>10} {'count':>6}  name   (2 steps; total {total/1e3:.1f} ms)")
 out = []
-for nm, (c, dur) in rows[:40]:
+for nm, (c, dur) in rows[:60]:
     print(f"{dur:10.0f} {c:6d}  {nm[:90]}")
+    out.append({"name": nm, "count": c, "us": dur})
+for nm, (c, dur) in rows[60:]:
     out.append({"name": nm, "count": c, "us": dur})
 if len(sys.argv) > 2:
     Path(sys.argv[2]).write_text(json.dumps(
